@@ -1,0 +1,83 @@
+"""Span-sequence equality invariant: the distributed pipeline must reproduce
+the single-node oracle (`classify_document`) exactly — (kind, text, media_ref,
+order) per document — under any partitioning, including the salted
+mega-document path."""
+
+import dataclasses
+
+import pytest
+
+from wordscape_spark import datagen
+from wordscape_spark.config import DEFAULT_CONFIG, ExtractConfig
+from wordscape_spark.core import classify as C
+from wordscape_spark.operators import extract as X
+
+
+@pytest.fixture(scope="module")
+def docs_path():
+    return datagen.ensure_interleaved(0.001)
+
+
+def _oracle_results(path, cfg):
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(path)
+    out = {}
+    for row in table.to_pylist():
+        spans = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in row["spans"]
+        ]
+        out[row["doc_id"]] = C.classify_document(spans, cfg)
+    return out
+
+
+def _spark_results(spark, path, cfg):
+    docs = spark.read.parquet(path)
+    rows = X.extract(docs, cfg).collect()
+    return {r["doc_id"]: r for r in rows}
+
+
+def _assert_equal(spark_rows, oracle, cfg):
+    assert set(spark_rows) == set(oracle)
+    for doc_id, expected in oracle.items():
+        got = spark_rows[doc_id]
+        assert got["ok"] == expected.ok, doc_id
+        assert got["reject_reason"] == expected.reject_reason, doc_id
+        got_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in got["spans"]
+        ]
+        assert got_spans == expected.spans, f"span mismatch in {doc_id}"
+        assert got["text"] == expected.text, doc_id
+        assert dict(got["counts"]) == expected.counts, doc_id
+        assert got["quality"] == pytest.approx(expected.quality), doc_id
+
+
+def test_spark_matches_oracle(spark, docs_path):
+    oracle = _oracle_results(docs_path, DEFAULT_CONFIG)
+    got = _spark_results(spark, docs_path, DEFAULT_CONFIG)
+    _assert_equal(got, oracle, DEFAULT_CONFIG)
+
+
+def test_salted_path_is_exact(spark, docs_path):
+    """Force (nearly) every document through the chunked mega-doc path and
+    require bit-identical results to the single-pass oracle."""
+    cfg = dataclasses.replace(DEFAULT_CONFIG, salt_threshold=20,
+                              salt_chunk_spans=8)
+    oracle = _oracle_results(docs_path, cfg)
+    got = _spark_results(spark, docs_path, cfg)
+    _assert_equal(got, oracle, cfg)
+
+
+def test_partitioning_invariance(spark, docs_path):
+    docs = spark.read.parquet(docs_path)
+    a = {
+        r["doc_id"]: r["text"]
+        for r in X.extract(docs.repartition(17), DEFAULT_CONFIG).collect()
+    }
+    b = {
+        r["doc_id"]: r["text"]
+        for r in X.extract(docs.coalesce(1), DEFAULT_CONFIG).collect()
+    }
+    assert a == b

@@ -1,0 +1,921 @@
+"""Per-document span classification — WordScape extraction semantics.
+
+This module is pure Python (no Spark): it is the unit the Spark grouped-map
+UDF applies per document, and doubles as the single-node oracle in tests.
+
+Semantics reproduced from the reference (file:line cites refer to
+/root/reference):
+
+* builtin-style prefix classification + XML-pattern overrides
+  (app/src/annotation/colorization/entities/paragraph.py:12-86)
+* per-document font-size heuristic map
+  (app/src/annotation/colorization/heuristics/build_heuristics.py:27-263)
+* run-level heuristic classification with heading strictness
+  (build_heuristics.py:265-419; colorization_handler.py:235-291)
+* content-aware form/quote/list checks with run splitting
+  (app/src/annotation/colorization/heuristics/content_awareness.py:12-458)
+* body-order text serialization with \\t/\\n table rule
+  (app/src/annotation/text/text_extraction.py:85-135)
+* decision log + annotation quality score
+  (colorization_handler.py:368-392; app/src/annotation/annotation_quality.py:18-83)
+
+Documented deviation: the reference's "builtin heading tracker" branch
+(build_heuristics.py:84-94) keys ``ENTITY_NAME_TO_COLOR`` with style names
+like "heading 1" while the map's keys are entity names like "heading_1", so
+the branch never fires on real styles (and would raise on the names that do
+match).  We implement the *documented intent*: paragraphs styled
+"heading 1".."heading 9" feed an exact-fontprop→level map that replaces the
+size-ranking heuristic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Sequence
+
+from wordscape_spark import signal as sig
+from wordscape_spark import taxonomy as tax
+from wordscape_spark.config import DEFAULT_CONFIG, ExtractConfig
+
+# --------------------------------------------------------------------------
+# parsed element model
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Run:
+    text: str
+    size: float = sig.FONT_UNKNOWN
+    bold: bool | None = None
+    italic: bool | None = None
+    underline: bool = False
+
+
+@dataclasses.dataclass
+class BodyPar:
+    style: str
+    par_size: float
+    par_bold: bool | None
+    par_italic: bool | None
+    math: bool
+    numbered: bool
+    runs: list[Run]
+
+    @property
+    def text(self) -> str:
+        return "".join(r.text for r in self.runs)
+
+
+@dataclasses.dataclass
+class StreamPar:  # header / footer / textbox paragraph
+    tag: str  # hp | fp | xp
+    text: str
+
+
+@dataclasses.dataclass
+class Sdt:
+    gallery: str
+    text: str
+
+
+@dataclasses.dataclass
+class TableEl:
+    cells: list[sig.CellSignal]
+
+
+@dataclasses.dataclass
+class Figure:
+    media_ref: str | None
+
+
+Element = BodyPar | StreamPar | Sdt | TableEl | Figure
+
+
+def parse_elements(
+    spans: Sequence[tuple[str, str | None, str | None, int]],
+) -> list[Element]:
+    """Group ordered input spans into document elements.
+
+    ``spans`` are (kind, text, media_ref, offset) tuples; consecutive spans
+    with the same tag and paragraph/table index form one element (document
+    order = offset order, like the reference's body walk,
+    text_extraction.py:96-102).
+    """
+    ordered = sorted(spans, key=lambda s: s[3])
+    elements: list[Element] = []
+    cur_key: tuple | None = None
+
+    for kind, text, media_ref, _off in ordered:
+        text = text or ""
+        tag, fields = sig.parse_fields(kind)
+        if tag == "r":
+            r = sig.parse_run(kind, text)
+            key = ("r", r.par)
+            if key != cur_key:
+                elements.append(
+                    BodyPar(
+                        style=r.style,
+                        par_size=r.par_size,
+                        par_bold=r.par_bold,
+                        par_italic=r.par_italic,
+                        math=r.math,
+                        numbered=r.numbered,
+                        runs=[],
+                    )
+                )
+                cur_key = key
+            par = elements[-1]
+            assert isinstance(par, BodyPar)
+            par.math = par.math or r.math
+            par.numbered = par.numbered or r.numbered
+            par.runs.append(
+                Run(text=text, size=r.size, bold=r.bold, italic=r.italic,
+                    underline=r.underline)
+            )
+        elif tag in ("hp", "fp", "xp"):
+            key = (tag, fields.get("p", "0"))
+            if key != cur_key:
+                elements.append(StreamPar(tag=tag, text=""))
+                cur_key = key
+            el = elements[-1]
+            assert isinstance(el, StreamPar)
+            el.text += text
+        elif tag == "sdt":
+            elements.append(Sdt(gallery=fields.get("g", ""), text=text))
+            cur_key = None
+        elif tag == "tc":
+            c = sig.parse_cell(kind, text)
+            key = ("tc", c.table)
+            if key != cur_key:
+                elements.append(TableEl(cells=[]))
+                cur_key = key
+            tbl = elements[-1]
+            assert isinstance(tbl, TableEl)
+            tbl.cells.append(c)
+        elif tag == "fig":
+            elements.append(Figure(media_ref=media_ref))
+            cur_key = None
+        else:  # unknown tag: ignore (forward compatibility)
+            cur_key = None
+    return elements
+
+
+# --------------------------------------------------------------------------
+# text serialization (C6)
+# --------------------------------------------------------------------------
+
+
+def serialize_table(tbl: TableEl) -> str:
+    """Cells joined by \\t, rows by \\n (ref: text_extraction.py:121-135)."""
+    rows: dict[int, list[str]] = {}
+    for c in tbl.cells:
+        rows.setdefault(c.row, []).append(c.text)
+    return "\n".join("\t".join(cells) for _, cells in sorted(rows.items()))
+
+
+def serialize_text(elements: Iterable[Element]) -> str:
+    """Body-order document text (ref: text_extraction.py:85-118)."""
+    parts = []
+    for el in elements:
+        if isinstance(el, BodyPar):
+            s = el.text
+        elif isinstance(el, TableEl):
+            s = serialize_table(el)
+        else:
+            continue  # header/footer/textbox/sdt/figure are not body children
+        if len(s) > 0:
+            parts.append(s)
+    return "\n".join(parts)
+
+
+# --------------------------------------------------------------------------
+# font heuristics (C10)
+# --------------------------------------------------------------------------
+
+_HEADING_STYLE_LEVEL = {f"heading {i}": i for i in range(1, 10)}
+
+
+def _level_to_category(level: int) -> str:
+    if level == sig.LEVEL_BODY:
+        return tax.TEXT
+    if level == sig.LEVEL_TITLE:
+        return tax.TITLE
+    return tax.HEADING[level - 1]
+
+
+class FontHeuristics:
+    """Per-document fontprop→level map (ref: build_heuristics.py:27-263).
+
+    The accumulation state (font_size_count / appearances / tracker) is
+    strictly additive per paragraph, so it can be computed on paragraph-
+    aligned chunks of a skewed mega-document and merged before ``build()`` —
+    the engine's salted path relies on this.
+    """
+
+    def __init__(self, cfg: ExtractConfig):
+        self.cfg = cfg
+        self.heuristic_map: dict[str, int] = {}
+        self.builtin_heading_tracker: list[tuple[str, int]] = []
+        self.font_size_count: dict[str, int] = {}
+        self.font_size_appearances: dict[str, int] = {}
+
+    @classmethod
+    def from_pars(
+        cls, body_pars: Sequence[BodyPar], cfg: ExtractConfig
+    ) -> "FontHeuristics":
+        h = cls(cfg)
+        for par in body_pars:
+            h._evaluate_paragraph(par)
+        h._build_map()
+        return h
+
+    def merge_state(
+        self,
+        font_size_count: dict[str, int],
+        font_size_appearances: dict[str, int],
+        tracker: Iterable[tuple[str, int]],
+    ) -> None:
+        for k, v in font_size_count.items():
+            self.font_size_count[k] = self.font_size_count.get(k, 0) + v
+        for k, v in font_size_appearances.items():
+            self.font_size_appearances[k] = (
+                self.font_size_appearances.get(k, 0) + v
+            )
+        self.builtin_heading_tracker.extend(
+            (fp, int(level)) for fp, level in tracker
+        )
+
+    def build(self) -> None:
+        self._build_map()
+
+    def _evaluate_paragraph(self, par: BodyPar) -> None:
+        par_props: list = [par.par_size, par.par_bold, par.par_italic]
+        heading_level = _HEADING_STYLE_LEVEL.get(par.style)
+        builtin_heading_flag = heading_level is not None
+
+        already_counted: set[str] = set()
+        all_runs_bold = True
+        all_runs_italic = True
+        all_runs_whitespace = True
+        run_font_sizes: list[float] = []
+
+        for run in par.runs:
+            size = run.size if run.size != sig.FONT_UNKNOWN else par_props[0]
+            bold = run.bold if run.bold is not None else par_props[1]
+            italic = run.italic if run.italic is not None else par_props[2]
+            if not sig.is_whitespace(run.text):
+                all_runs_bold = all_runs_bold and bold
+                all_runs_italic = all_runs_italic and italic
+                run_font_sizes.append(size)
+                all_runs_whitespace = False
+            fp = sig.fontprop_string(size, bold, italic)
+            self.font_size_count[fp] = self.font_size_count.get(fp, 0) + len(run.text)
+            if fp not in already_counted:
+                self.font_size_appearances[fp] = (
+                    self.font_size_appearances.get(fp, 0) + 1
+                )
+                already_counted.add(fp)
+
+        if builtin_heading_flag and not all_runs_whitespace and len(par.runs) > 0:
+            # run-level overrides of the paragraph props
+            # (ref: build_heuristics.py:138-147)
+            eff = list(par_props)
+            eff[1] = eff[1] or all_runs_bold
+            eff[2] = eff[2] or all_runs_italic
+            override = list(set(run_font_sizes))
+            if len(override) == 1:
+                eff[0] = override[0]
+            self.builtin_heading_tracker.append(
+                (sig.fontprop_string(eff[0], eff[1], eff[2]), heading_level)
+            )
+
+    def _build_map(self) -> None:
+        if self.builtin_heading_tracker:
+            # exact-fontprop matches only; lowest observed level wins
+            # (ref: build_heuristics.py:168-179)
+            for fp, level in self.builtin_heading_tracker:
+                prior = self.heuristic_map.get(fp)
+                if prior is None or level > prior:
+                    self.heuristic_map[fp] = level
+            return
+
+        if not self.font_size_count:
+            return
+
+        # size ranking: strip the b/i/n suffix, dedupe, sort descending, then
+        # re-attach suffixed variants in b, bi, i, n order
+        # (ref: build_heuristics.py:186-214)
+        pure = {
+            float(fp.replace("b", "").replace("i", "").replace("n", ""))
+            for fp in self.font_size_count
+        }
+        ordered: list[str] = []
+        for size in sorted(pure, reverse=True):
+            for suffix in ("b", "bi", "i", "n"):
+                candidate = str(size) + suffix
+                if candidate in self.font_size_count:
+                    ordered.append(candidate)
+
+        common = max(self.font_size_count, key=self.font_size_count.get)
+        self.heuristic_map[common] = sig.LEVEL_BODY
+
+        if len(ordered) == 1:
+            self.heuristic_map[ordered[0]] = sig.LEVEL_BODY
+            return
+
+        if self.font_size_appearances[ordered[0]] == 1:
+            self.heuristic_map[ordered[0]] = sig.LEVEL_TITLE
+            ordered.pop(0)
+
+        if len(ordered) > 1 and ordered[0] != common:
+            self.heuristic_map[ordered[0]] = 1
+            ordered.pop(0)
+            level = 2
+            while ordered:
+                cur = ordered.pop(0)
+                if cur == common:
+                    break
+                self.heuristic_map[cur] = level
+                level = min(level + 1, 9)
+            while ordered:
+                self.heuristic_map[ordered.pop(0)] = sig.LEVEL_BODY
+
+    # ---------------------------------------------------------------- classify
+
+    def classify_runs(
+        self, par: BodyPar
+    ) -> tuple[str | None, list[str], str, list[Run]]:
+        """(main category, per-run categories, decision source, final runs).
+
+        Ref: build_heuristics.py:265-419 (get_heuristic_with_runs) followed by
+        the content-aware override.
+        """
+        source = (
+            tax.SRC_HEURISTIC_USINGBUILTIN
+            if self.builtin_heading_tracker
+            else tax.SRC_HEURISTIC_BASE
+        )
+
+        if par.numbered:
+            return (
+                tax.LIST,
+                [tax.LIST] * len(par.runs),
+                tax.SRC_XML_PATTERN,
+                par.runs,
+            )
+
+        char_count: dict[str, int] = {}
+        run_cats: list[str] = []
+        ws_indices: list[int] = []
+        prev_was_heading = True
+        heading_len = 0
+
+        for run in par.runs:
+            if sig.is_whitespace(run.text):
+                run_cats.append(tax.WHITESPACE)
+                ws_indices.append(len(run_cats) - 1)
+                char_count[tax.WHITESPACE] = char_count.get(tax.WHITESPACE, 0) - 1
+                continue
+
+            size = run.size if run.size != sig.FONT_UNKNOWN else par.par_size
+            bold = run.bold if run.bold is not None else par.par_bold
+            italic = run.italic if run.italic is not None else par.par_italic
+            fp = sig.fontprop_string(size, bold, italic)
+
+            if fp in self.heuristic_map:
+                cat = _level_to_category(self.heuristic_map[fp])
+                # heading strictness: a heading run must start the paragraph
+                # or continue a heading (ref: build_heuristics.py:342-343)
+                if not prev_was_heading:
+                    cat = tax.TEXT
+                run_cats.append(cat)
+                if cat == tax.TITLE or cat in tax.HEADING:
+                    heading_len += len(run.text)
+                    if heading_len > self.cfg.max_heading_len:
+                        # demote the whole paragraph to body
+                        # (ref: build_heuristics.py:354-363)
+                        run_cats = [tax.TEXT] * len(run_cats)
+                        char_count = {tax.TEXT: 1000}
+                        prev_was_heading = False
+                else:
+                    prev_was_heading = False
+                char_count[cat] = char_count.get(cat, 0) + len(run.text)
+            else:
+                run_cats.append(tax.TEXT)
+                prev_was_heading = False
+                char_count[tax.TEXT] = char_count.get(tax.TEXT, 0) + len(run.text)
+
+        if char_count:
+            main = max(char_count, key=char_count.get)
+            for i in ws_indices:
+                run_cats[i] = main
+        else:
+            main = None
+
+        runs = par.runs
+        ca = check_content_aware(par, main, self.cfg)
+        if ca is not None:
+            new_runs, new_cats, new_main = ca
+            # list override is stricter when builtin headings exist
+            # (ref: build_heuristics.py:408-417)
+            if not (new_main == tax.LIST and self.builtin_heading_tracker):
+                runs, run_cats, main = new_runs, new_cats, new_main
+                source = tax.SRC_CONTENT_AWARE
+
+        return main, run_cats, source, runs
+
+
+# --------------------------------------------------------------------------
+# content-aware checks (C12)
+# --------------------------------------------------------------------------
+
+
+def _form_check(par: BodyPar, min_len: int) -> bool:
+    for run in par.runs:
+        if run.underline and len(run.text) >= min_len and run.text.isspace():
+            return True
+    streak = 0
+    for ch in par.text:
+        if ch in tax.FORM_FIELD_SYMBOLS:
+            streak += 1
+            if streak >= min_len:
+                return True
+        else:
+            streak = 0
+    return False
+
+
+def _quote_check(par: BodyPar) -> bool:
+    t = par.text
+    return len(t) > 0 and t[0] == t[-1] and t[0] in tax.QUOTE_SYMBOLS
+
+
+def _list_check_run(text: str) -> bool:
+    if len(text) == 0 or text.isspace():
+        return False
+    if text[0] in tax.NUMBERING_SYMBOLS:
+        return True
+    first_word = text.split()[0]
+    for follower in tax.NUMBERING_FOLLOWERS:
+        for pattern_matches in (
+            _match_number_follower(first_word, follower),
+            _match_word_char_follower(first_word, follower),
+        ):
+            if pattern_matches:
+                return True
+    return False
+
+
+def _match_number_follower(word: str, follower: str) -> bool:
+    # ^[0-9]+<follower>
+    i = 0
+    while i < len(word) and word[i].isdigit():
+        i += 1
+    return i > 0 and i < len(word) and word[i] == follower
+
+
+def _match_word_char_follower(word: str, follower: str) -> bool:
+    # ^\w<follower>
+    return (
+        len(word) >= 2
+        and (word[0].isalnum() or word[0] == "_")
+        and word[1] == follower
+    )
+
+
+def _list_check(par: BodyPar) -> bool:
+    if not par.runs:
+        return False
+    return all(_list_check_run(r.text) for r in par.runs)
+
+
+def _form_handler(
+    par: BodyPar, prev_main: str | None, min_len: int
+) -> tuple[list[Run], list[str], str | None]:
+    """Split runs so each form field is its own run
+    (ref: content_awareness.py:122-349)."""
+    new_runs: list[Run] = []
+    recs: list[str] = []
+
+    def clone(src: Run, text: str) -> Run:
+        return Run(text=text, size=src.size, bold=src.bold, italic=src.italic,
+                   underline=src.underline)
+
+    for run in par.runs:
+        if run.underline and run.text.isspace() and len(run.text) >= min_len:
+            new_runs.append(run)
+            recs.append(tax.FORM_FIELD)
+            continue
+
+        # leading form-field chars of this run ("seam" handling)
+        begin = ""
+        for ch in run.text:
+            if ch in tax.FORM_FIELD_SYMBOLS:
+                begin += ch
+            else:
+                break
+        idx = len(begin)
+        field_buf = ""
+        nonfield_buf = ""
+
+        if recs and recs[-1] == tax.FORM_FIELD:
+            if begin:
+                new_runs.append(clone(run, begin))
+                recs.append(tax.FORM_FIELD)
+        elif recs:
+            prev = new_runs[-1]
+            trailing = ""
+            for ch in reversed(prev.text):
+                if ch in tax.FORM_FIELD_SYMBOLS:
+                    trailing = ch + trailing
+                else:
+                    break
+            if len(trailing) + len(begin) >= min_len:
+                if len(prev.text) > len(trailing):
+                    new_runs[-1] = clone(prev, prev.text[: len(prev.text) - len(trailing)])
+                    recs[-1] = prev_main
+                    new_runs.append(clone(prev, trailing))
+                    recs.append(tax.FORM_FIELD)
+                else:
+                    new_runs[-1] = clone(prev, trailing)
+                    recs[-1] = tax.FORM_FIELD
+                if begin:
+                    new_runs.append(clone(run, begin))
+                    recs.append(tax.FORM_FIELD)
+            else:
+                field_buf = begin
+        else:
+            field_buf = begin
+
+        for pos in range(idx, len(run.text)):
+            ch = run.text[pos]
+            if ch in tax.FORM_FIELD_SYMBOLS:
+                field_buf += ch
+            else:
+                if len(field_buf) < min_len:
+                    nonfield_buf += field_buf
+                    field_buf = ""
+                    nonfield_buf += ch
+                if len(field_buf) >= min_len:
+                    new_runs.append(clone(run, nonfield_buf))
+                    recs.append(prev_main)
+                    nonfield_buf = ch
+                    new_runs.append(clone(run, field_buf))
+                    recs.append(tax.FORM_FIELD)
+                    field_buf = ""
+
+        if len(field_buf) < min_len:
+            nonfield_buf += field_buf
+            field_buf = ""
+        if nonfield_buf:
+            new_runs.append(clone(run, nonfield_buf))
+            recs.append(prev_main)
+        if field_buf:
+            new_runs.append(clone(run, field_buf))
+            recs.append(tax.FORM_FIELD)
+
+    old_text = par.text
+    new_text = "".join(r.text for r in new_runs)
+    if new_text != old_text:  # ref sanity check, content_awareness.py:339-347
+        raise ValueError("form run splitting changed paragraph text")
+    return new_runs, recs, prev_main
+
+
+def check_content_aware(
+    par: BodyPar, prev_main: str | None, cfg: ExtractConfig
+) -> tuple[list[Run], list[str], str | None] | None:
+    """form → quote → list priority (ref: content_awareness.py:418-458)."""
+    if _form_check(par, cfg.form_field_min_length):
+        return _form_handler(par, prev_main, cfg.form_field_min_length)
+    if _quote_check(par):
+        return par.runs, [tax.QUOTE] * len(par.runs), tax.QUOTE
+    if _list_check(par):
+        recs = []
+        list_chars = 0
+        for r in par.runs:
+            if _list_check_run(r.text):
+                recs.append(tax.LIST)
+                list_chars += len(r.text)
+            else:
+                recs.append(prev_main)
+        new_main = tax.LIST if list_chars >= len(par.text) else prev_main
+        return par.runs, recs, new_main
+    return None
+
+
+# --------------------------------------------------------------------------
+# document classification driver
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Decision:
+    text: str | None
+    source: str
+    entity_id: int
+
+
+@dataclasses.dataclass
+class DocResult:
+    ok: bool
+    reject_reason: str | None
+    spans: list[tuple[str, str, str | None, int]]  # kind, text, media_ref, off
+    text: str
+    counts: dict[str, int]
+    quality: float
+    builtin_props: dict[str, float]
+
+
+def _emit_heuristic_par(
+    par_text: str,
+    runs: list[Run],
+    main: str | None,
+    run_cats: list[str],
+    source: str,
+    original_was_builtin: bool,
+    original_id: int,
+    out_spans: list[tuple[str, str, str | None]],
+    decisions: list[Decision],
+) -> None:
+    """Emission per colorization_handler.assign_par_color_considering_runs
+    (+ __handle_run_colorization), colorization_handler.py:235-366."""
+    if main is None:
+        return
+
+    par_colored = not (
+        main == tax.WHITESPACE or par_text.isspace() or len(par_text) == 0
+    )
+
+    if main != tax.TEXT:
+        if par_colored:
+            out_spans.append((main, par_text, None))
+    elif par_colored:
+        # run-level categories become their own spans; heading runs are only
+        # honored when starting the par or continuing an equal heading
+        # (ref: colorization_handler.py:270-276)
+        effective = list(run_cats)
+        for i, cat in enumerate(run_cats):
+            if cat in tax.HEADING:
+                if (
+                    i != 0
+                    and run_cats[i - 1] != cat
+                    and not runs[i - 1].text.endswith("\r")
+                ):
+                    effective[i] = main
+        # merge consecutive same-category segments into spans
+        seg_cat: str | None = None
+        seg_text = ""
+        for run, cat in zip(runs, effective):
+            cat_eff = cat
+            if len(run.text) == 0 or run.text.isspace():
+                cat_eff = main
+            if cat_eff != seg_cat:
+                if seg_cat is not None and len(seg_text) > 0:
+                    out_spans.append((seg_cat, seg_text, None))
+                seg_cat = cat_eff
+                seg_text = run.text
+            else:
+                seg_text += run.text
+        if seg_cat is not None and len(seg_text) > 0:
+            out_spans.append((seg_cat, seg_text, None))
+
+    # decision log uses the pre-gating run categories
+    # (ref: colorization_handler.py:324-366)
+    for run, cat in zip(runs, run_cats):
+        entity_id = tax.NAME_TO_ID.get(cat)
+        if entity_id is None:
+            continue
+        if original_was_builtin and entity_id != original_id:
+            decisions.append(Decision(run.text, source, entity_id))
+        elif original_was_builtin and entity_id == original_id:
+            decisions.append(Decision(run.text, tax.SRC_BUILTIN, entity_id))
+        else:
+            decisions.append(Decision(run.text, source, entity_id))
+
+
+def _classify_body_par(
+    par: BodyPar,
+    heuristics: FontHeuristics,
+    out_spans: list[tuple[str, str, str | None]],
+    decisions: list[Decision],
+) -> None:
+    """Ref: colorization/entities/paragraph.py:12-86."""
+    if par.style == "":
+        return
+    par_text = par.text
+    style = par.style  # already lowercase in the signal grammar
+    stripped = "".join(c for c in par_text if c not in ("\n", "\t"))
+    if len(stripped) == 0 and "toc" not in style:
+        return
+
+    def assign_simple(cat: str, source: str) -> None:
+        if par_text.isspace() or len(par_text) == 0:
+            return
+        out_spans.append((cat, par_text, None))
+        decisions.append(Decision(par_text, source, tax.NAME_TO_ID[cat]))
+
+    def heuristic_path(original_was_builtin: bool) -> None:
+        main, run_cats, source, runs = heuristics.classify_runs(par)
+        _emit_heuristic_par(
+            par_text, runs, main, run_cats, source,
+            original_was_builtin, tax.NAME_TO_ID[tax.TEXT],
+            out_spans, decisions,
+        )
+
+    if style not in tax.BUILTIN_STYLES:
+        heuristic_path(original_was_builtin=False)
+        return
+
+    cat = tax.map_builtin_style(style)
+    if cat is None:
+        return  # unrecognized builtin (ref: paragraph.py:85-86)
+
+    if cat == tax.TEXT:
+        if par.math:
+            assign_simple(tax.EQUATION, tax.SRC_XML_PATTERN)
+        elif par.numbered:
+            assign_simple(tax.LIST, tax.SRC_XML_PATTERN)
+        else:
+            heuristic_path(original_was_builtin=True)
+    else:
+        assign_simple(cat, tax.SRC_BUILTIN)
+
+
+def _classify_table(
+    tbl: TableEl,
+    out_spans: list[tuple[str, str, str | None]],
+    decisions: list[Decision],
+    counts: dict[str, int],
+) -> None:
+    """Cells in document order; one builtin decision per table
+    (ref: colorize_table.py:19-23); structural counts mirror the geometry
+    entities the reference's detector would emit (tables/*)."""
+    decisions.append(Decision(None, tax.SRC_BUILTIN, tax.NAME_TO_ID[tax.TABLE]))
+    header_rows = set()
+    body_rows = set()
+    cols = set()
+    for c in tbl.cells:
+        cols.add(c.col)
+        (header_rows if c.header else body_rows).add(c.row)
+        cat = tax.TABLE_HEADER_CELL if c.header else tax.TABLE_CELL
+        out_spans.append((cat, c.text, None))
+    counts[tax.TABLE] = counts.get(tax.TABLE, 0) + 1
+    counts[tax.TABLE_ROW] = counts.get(tax.TABLE_ROW, 0) + len(body_rows)
+    counts[tax.TABLE_HEADER_ROW] = (
+        counts.get(tax.TABLE_HEADER_ROW, 0) + len(header_rows)
+    )
+    counts[tax.TABLE_COLUMN] = counts.get(tax.TABLE_COLUMN, 0) + len(cols)
+    if header_rows:
+        counts[tax.TABLE_HEADER] = counts.get(tax.TABLE_HEADER, 0) + 1
+
+
+def classify_elements(
+    elements: Sequence[Element],
+    heuristics: FontHeuristics,
+) -> tuple[list[tuple[str, str, str | None]], list[Decision], dict[str, int]]:
+    """Classify pre-parsed elements with a prebuilt heuristic map.
+
+    Shared by the whole-document path and the salted mega-document chunk
+    path (the classification of an element depends only on the element and
+    the document-level font map, never on neighboring elements).
+    """
+    out_spans: list[tuple[str, str, str | None]] = []
+    decisions: list[Decision] = []
+    counts: dict[str, int] = {}
+
+    for el in elements:
+        if isinstance(el, BodyPar):
+            _classify_body_par(el, heuristics, out_spans, decisions)
+        elif isinstance(el, StreamPar):
+            if len(el.text) == 0 or el.text.isspace():
+                continue
+            if el.tag == "hp":
+                out_spans.append((tax.HEADER, el.text, None))
+                decisions.append(
+                    Decision(el.text, tax.SRC_BUILTIN, tax.NAME_TO_ID[tax.HEADER])
+                )
+            elif el.tag == "fp":
+                out_spans.append((tax.FOOTER, el.text, None))
+                decisions.append(
+                    Decision(el.text, tax.SRC_BUILTIN, tax.NAME_TO_ID[tax.FOOTER])
+                )
+            else:  # textbox → text via xml pattern (ref: text_box.py:10-31)
+                out_spans.append((tax.TEXT, el.text, None))
+                decisions.append(
+                    Decision(el.text, tax.SRC_XML_PATTERN, tax.NAME_TO_ID[tax.TEXT])
+                )
+        elif isinstance(el, Sdt):
+            if len(el.text) == 0 or el.text.isspace():
+                continue
+            cat = tax.BIBLIOGRAPHY if "bib" in el.gallery else tax.TOC
+            out_spans.append((cat, el.text, None))
+            decisions.append(
+                Decision(el.text, tax.SRC_XML_PATTERN, tax.NAME_TO_ID[cat])
+            )
+        elif isinstance(el, TableEl):
+            _classify_table(el, out_spans, decisions, counts)
+        elif isinstance(el, Figure):
+            out_spans.append((tax.FIGURE, "", el.media_ref))
+            decisions.append(
+                Decision(None, tax.SRC_BUILTIN, tax.NAME_TO_ID[tax.FIGURE])
+            )
+
+    for kind, _t, _m in out_spans:
+        counts[kind] = counts.get(kind, 0) + 1
+    # structural table counts were added separately; cell spans already counted
+    return out_spans, decisions, counts
+
+
+def classify_document(
+    spans: Sequence[tuple[str, str | None, str | None, int]],
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+) -> DocResult:
+    """Classify one interleaved document into its ordered span sequence."""
+    if len(spans) > cfg.max_doc_spans:
+        return DocResult(False, "too_many_spans", [], "", {}, 0.0, {})
+
+    elements = parse_elements(spans)
+    doc_text = serialize_text(elements)
+    if len(doc_text) < cfg.min_text_chars:
+        # min-text gate (ref: annotator_process.py:461-465)
+        return DocResult(False, "min_text", [], doc_text, {}, 0.0, {})
+
+    heuristics = FontHeuristics.from_pars(
+        [el for el in elements if isinstance(el, BodyPar)], cfg
+    )
+    out_spans, decisions, counts = classify_elements(elements, heuristics)
+
+    quality, builtin_props = quality_from_counter(
+        char_counter_from_decisions(decisions), counts
+    )
+    final = [
+        (kind, text, media_ref, i)
+        for i, (kind, text, media_ref) in enumerate(out_spans)
+    ]
+    return DocResult(True, None, final, doc_text, counts, quality, builtin_props)
+
+
+def char_counter_from_decisions(
+    decisions: Sequence[Decision],
+) -> dict[int, list[float]]:
+    """builtin/heuristic char mass per category (mergeable by summation)."""
+    char_counter: dict[int, list[float]] = {}
+    for d in decisions:
+        text_len = 1.0 if d.text is None else float(len(d.text))
+        slot = 0 if d.source in tax.BUILTIN_SOURCES else 1
+        char_counter.setdefault(d.entity_id, [0.0, 0.0])[slot] += text_len
+    return char_counter
+
+
+def quality_from_counter(
+    char_counter: dict[int, list[float]], counts: dict[str, int]
+) -> tuple[float, dict[str, float]]:
+    """Ref: annotation_quality.py:18-83."""
+    full: dict[int, list[float]] = {i: [0.0, 0.0] for i in tax.ID_TO_NAME}
+    for entity_id, (b, h) in char_counter.items():
+        full[entity_id][0] += b
+        full[entity_id][1] += h
+    char_counter = full
+
+    builtin_props: dict[str, float] = {}
+    for entity_id, (builtin, heuristic) in char_counter.items():
+        total = builtin + heuristic
+        builtin_props[tax.ID_TO_NAME[entity_id]] = (
+            builtin / total if total > 0 else 0.0
+        )
+
+    num_entities = sum(counts.values())
+    if num_entities == 0:
+        return 0.0, builtin_props
+    score = sum(
+        count * builtin_props[kind]
+        for kind, count in counts.items()
+        if kind not in tax.QUALITY_IGNORED
+    )
+    return score / num_entities, builtin_props
+
+
+# --------------------------------------------------------------------------
+# text metrics (D10)
+# --------------------------------------------------------------------------
+
+import string as _string
+
+_PUNCT_DELETE = str.maketrans("", "", _string.punctuation)
+
+
+def text_metrics(text: str) -> dict[str, float]:
+    """Ref: annotation_objects.py:165-185 (DocumentText)."""
+    num_chars = len(text)
+    num_alph = sum(1 for c in text if c.isalpha())
+    num_numeric = sum(1 for c in text if c.isnumeric())
+    num_alnum = sum(1 for c in text if c.isalnum())
+    return {
+        "num_words": float(len(text.translate(_PUNCT_DELETE).split())),
+        "num_chars": float(num_chars),
+        "num_alph_chars": float(num_alph),
+        "num_numeric_chars": float(num_numeric),
+        "num_alphnum_chars": float(num_alnum),
+        "alnum_prop": (num_alnum / num_chars) if num_chars else 0.0,
+        "alph_to_num_ratio": (num_alph / num_numeric) if num_numeric else 0.0,
+    }

@@ -1,0 +1,494 @@
+"""The extraction operator — classified ordered span sequences per document.
+
+Execution strategy (designed for 10^12-row scale):
+
+* The input table has one row per document, so the normal path is a pure
+  ``mapInPandas`` — **zero shuffle**: each Arrow batch of documents is
+  classified independently.  (The reference's per-document two-pass heuristic
+  would force a ``groupBy(doc_id)`` only if spans arrived exploded.)
+* Skewed mega-documents (``size(spans) > cfg.salt_threshold``) would stall a
+  task the way one huge doc stalls a reference worker (SURVEY §4.1).  They
+  take the *salted path*: spans are chunked at element boundaries, the
+  per-document font-heuristic state (which is additive per paragraph) is
+  computed per chunk and merged, broadcast-joined back to the chunks, chunks
+  are classified in parallel, and partial results are re-merged in chunk
+  order.  Results are bit-identical to the single-pass path (tested).
+* Oversized documents are rejected *natively* (``F.size < …``) before any
+  Python executes — the cheap-gate-first ordering the reference hand-rolls
+  (annotator_process.py:292-319) expressed as Catalyst-visible predicates.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from wordscape_spark.config import DEFAULT_CONFIG, ExtractConfig
+from wordscape_spark.core import classify as C
+
+SPAN_TYPE = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", IntegerType()),
+    ]
+)
+
+INPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("spans", ArrayType(SPAN_TYPE)),
+    ]
+)
+
+EXTRACTED_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("ok", BooleanType()),
+        StructField("reject_reason", StringType()),
+        StructField("spans", ArrayType(SPAN_TYPE)),
+        StructField("text", StringType()),
+        StructField("counts", MapType(StringType(), LongType())),
+        StructField("quality", DoubleType()),
+        StructField("builtin_props", MapType(StringType(), DoubleType())),
+        StructField("num_words", LongType()),
+        StructField("num_chars", LongType()),
+        StructField("num_alph_chars", LongType()),
+        StructField("num_numeric_chars", LongType()),
+        StructField("num_alphnum_chars", LongType()),
+        StructField("alnum_prop", DoubleType()),
+        StructField("alph_to_num_ratio", DoubleType()),
+    ]
+)
+
+_CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("spans", ArrayType(SPAN_TYPE)),
+        StructField("font_state", StringType()),
+    ]
+)
+
+_FONTMAP_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("font_state", StringType()),
+    ]
+)
+
+_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("spans", ArrayType(SPAN_TYPE)),
+        StructField("text", StringType()),
+        StructField("counts", MapType(StringType(), LongType())),
+        StructField("char_counter", StringType()),
+    ]
+)
+
+
+def _spans_to_tuples(spans) -> list[tuple]:
+    return [
+        (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans
+    ]
+
+
+def _spans_to_rows(spans: list[tuple]) -> list[dict]:
+    return [
+        {"kind": k, "text": t, "media_ref": m, "offset": o}
+        for (k, t, m, o) in spans
+    ]
+
+
+def _result_row(doc_id: str, res: C.DocResult) -> dict:
+    metrics = C.text_metrics(res.text if res.ok else "")
+    return {
+        "doc_id": doc_id,
+        "ok": res.ok,
+        "reject_reason": res.reject_reason,
+        "spans": _spans_to_rows(res.spans),
+        "text": res.text,
+        "counts": {k: int(v) for k, v in res.counts.items()},
+        "quality": float(res.quality),
+        "builtin_props": res.builtin_props,
+        "num_words": int(metrics["num_words"]),
+        "num_chars": int(metrics["num_chars"]),
+        "num_alph_chars": int(metrics["num_alph_chars"]),
+        "num_numeric_chars": int(metrics["num_numeric_chars"]),
+        "num_alphnum_chars": int(metrics["num_alphnum_chars"]),
+        "alnum_prop": float(metrics["alnum_prop"]),
+        "alph_to_num_ratio": float(metrics["alph_to_num_ratio"]),
+    }
+
+
+def _safe_classify(spans, cfg: ExtractConfig) -> C.DocResult:
+    """Per-document fault isolation: a malformed document becomes a reject
+    row instead of failing the task (the reference's failed_*.jsonl model,
+    annotator_process.py:199-282 — at 10^12 rows one bad doc must never
+    kill a job)."""
+    try:
+        return C.classify_document(_spans_to_tuples(spans), cfg)
+    except Exception as exc:  # noqa: BLE001 — intentional isolation boundary
+        return C.DocResult(
+            False, f"error:{type(exc).__name__}", [], "", {}, 0.0, {}
+        )
+
+
+def _make_classify_fn(cfg: ExtractConfig):
+    def classify_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                _result_row(doc_id, _safe_classify(spans, cfg))
+                for doc_id, spans in zip(pdf["doc_id"], pdf["spans"])
+            ]
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return classify_batches
+
+
+# ---------------------------------------------------------------------------
+# salted mega-document path
+# ---------------------------------------------------------------------------
+
+
+def _element_key(kind: str) -> tuple:
+    tag, _, rest = kind.partition(";")
+    if tag in ("r", "hp", "fp", "xp"):
+        p = ""
+        for field in rest.split(";"):
+            if field.startswith("p="):
+                p = field[2:]
+                break
+        return (tag, p)
+    if tag == "tc":
+        t = ""
+        for field in rest.split(";"):
+            if field.startswith("t="):
+                t = field[2:]
+                break
+        return (tag, t)
+    return (tag, object())  # sdt / fig: every span its own element
+
+
+def _chunk_spans(spans: list[tuple], target: int) -> list[list[tuple]]:
+    """Split ordered spans into chunks, never crossing an element boundary."""
+    ordered = sorted(spans, key=lambda s: s[3])
+    chunks: list[list[tuple]] = []
+    cur: list[tuple] = []
+    cur_key: tuple | None = None
+    for span in ordered:
+        key = _element_key(span[0])
+        if len(cur) >= target and key != cur_key:
+            chunks.append(cur)
+            cur = []
+        cur.append(span)
+        cur_key = key
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
+def _font_state_of(elements: list, cfg: ExtractConfig) -> str:
+    h = C.FontHeuristics(cfg)
+    for el in elements:
+        if isinstance(el, C.BodyPar):
+            h._evaluate_paragraph(el)
+    return json.dumps(
+        {
+            "counts": h.font_size_count,
+            "apps": h.font_size_appearances,
+            "tracker": h.builtin_heading_tracker,
+        }
+    )
+
+
+def _make_chunk_fn(cfg: ExtractConfig):
+    def chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                try:
+                    tuples = _spans_to_tuples(spans)
+                    doc_rows = []
+                    for idx, chunk in enumerate(
+                        _chunk_spans(tuples, cfg.salt_chunk_spans)
+                    ):
+                        elements = C.parse_elements(chunk)
+                        doc_rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "chunk_idx": idx,
+                                "spans": _spans_to_rows(chunk),
+                                "font_state": _font_state_of(elements, cfg),
+                            }
+                        )
+                    rows.extend(doc_rows)
+                except Exception as exc:  # noqa: BLE001 — fault isolation
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "chunk_idx": -1,
+                            "spans": [],
+                            "font_state": f"ERR:{type(exc).__name__}",
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return chunk_batches
+
+
+def _merge_font_states(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("chunk_idx")  # insertion order must match 1-pass
+    counts: dict[str, int] = {}
+    apps: dict[str, int] = {}
+    tracker: list = []
+    for state_json in pdf["font_state"]:
+        if state_json.startswith("ERR:"):
+            return pd.DataFrame(
+                [{"doc_id": key[0], "font_state": state_json}]
+            )
+        st = json.loads(state_json)
+        for k, v in st["counts"].items():
+            counts[k] = counts.get(k, 0) + v
+        for k, v in st["apps"].items():
+            apps[k] = apps.get(k, 0) + v
+        tracker.extend(st["tracker"])
+    merged = json.dumps({"counts": counts, "apps": apps, "tracker": tracker})
+    return pd.DataFrame([{"doc_id": key[0], "font_state": merged}])
+
+
+def _heuristics_from_state(state_json: str, cfg: ExtractConfig) -> C.FontHeuristics:
+    st = json.loads(state_json)
+    h = C.FontHeuristics(cfg)
+    h.merge_state(st["counts"], st["apps"], [tuple(t) for t in st["tracker"]])
+    h.build()
+    return h
+
+
+def _make_chunk_classify_fn(cfg: ExtractConfig):
+    def classify_chunks(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        heuristics_cache: dict[str, C.FontHeuristics] = {}
+        for pdf in batches:
+            rows = []
+            for doc_id, chunk_idx, spans, state in zip(
+                pdf["doc_id"], pdf["chunk_idx"], pdf["spans"], pdf["doc_font_state"]
+            ):
+                try:
+                    if state.startswith("ERR:") or chunk_idx < 0:
+                        raise _ChunkError(state)
+                    h = heuristics_cache.get(doc_id)
+                    if h is None:
+                        h = _heuristics_from_state(state, cfg)
+                        heuristics_cache[doc_id] = h
+                        if len(heuristics_cache) > 64:
+                            heuristics_cache.clear()
+                            heuristics_cache[doc_id] = h
+                    elements = C.parse_elements(_spans_to_tuples(spans))
+                    out_spans, decisions, counts = C.classify_elements(elements, h)
+                except Exception as exc:  # noqa: BLE001 — fault isolation
+                    marker = (
+                        state if state.startswith("ERR:")
+                        else f"ERR:{type(exc).__name__}"
+                    )
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "chunk_idx": int(chunk_idx),
+                            "spans": [],
+                            "text": "",
+                            "counts": {},
+                            "char_counter": marker,
+                        }
+                    )
+                    continue
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "chunk_idx": int(chunk_idx),
+                        "spans": [
+                            {"kind": k, "text": t, "media_ref": m, "offset": i}
+                            for i, (k, t, m) in enumerate(out_spans)
+                        ],
+                        "text": C.serialize_text(elements),
+                        "counts": {k: int(v) for k, v in counts.items()},
+                        "char_counter": json.dumps(
+                            C.char_counter_from_decisions(decisions)
+                        ),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return classify_chunks
+
+
+class _ChunkError(Exception):
+    pass
+
+
+def _make_merge_partials_fn(cfg: ExtractConfig):
+    def merge_partials(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("chunk_idx")
+        for marker in pdf["char_counter"]:
+            if marker.startswith("ERR:"):
+                res = C.DocResult(
+                    False, f"error:{marker[4:]}", [], "", {}, 0.0, {}
+                )
+                return pd.DataFrame([_result_row(key[0], res)])
+        text = "\n".join(t for t in pdf["text"] if len(t) > 0)
+        if len(text) < cfg.min_text_chars:
+            res = C.DocResult(False, "min_text", [], text, {}, 0.0, {})
+            return pd.DataFrame([_result_row(key[0], res)])
+        spans: list[tuple] = []
+        counts: dict[str, int] = {}
+        counter: dict[int, list[float]] = {}
+        for chunk_spans, chunk_counts, counter_json in zip(
+            pdf["spans"], pdf["counts"], pdf["char_counter"]
+        ):
+            for s in chunk_spans:
+                spans.append((s["kind"], s["text"], s["media_ref"]))
+            for k, v in chunk_counts.items():
+                counts[k] = counts.get(k, 0) + int(v)
+            for ent_id, (b, h) in json.loads(counter_json).items():
+                slot = counter.setdefault(int(ent_id), [0.0, 0.0])
+                slot[0] += b
+                slot[1] += h
+        quality, props = C.quality_from_counter(counter, counts)
+        res = C.DocResult(
+            True,
+            None,
+            [(k, t, m, i) for i, (k, t, m) in enumerate(spans)],
+            text,
+            counts,
+            quality,
+            props,
+        )
+        return pd.DataFrame([_result_row(key[0], res)])
+
+    return merge_partials
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def extract(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Classify every document; returns the EXTRACTED_SCHEMA DataFrame.
+
+    ``docs`` must have (doc_id string, spans array<struct<kind,text,
+    media_ref,offset>>).
+    """
+    n_spans = F.size("spans")
+
+    # native reject of oversized docs — no Python runs for them
+    too_big = docs.filter(n_spans > F.lit(cfg.max_doc_spans)).select(
+        F.col("doc_id"),
+        F.lit(False).alias("ok"),
+        F.lit("too_many_spans").alias("reject_reason"),
+        F.array().cast(EXTRACTED_SCHEMA["spans"].dataType).alias("spans"),
+        F.lit("").alias("text"),
+        F.create_map().cast(EXTRACTED_SCHEMA["counts"].dataType).alias("counts"),
+        F.lit(0.0).alias("quality"),
+        F.create_map()
+        .cast(EXTRACTED_SCHEMA["builtin_props"].dataType)
+        .alias("builtin_props"),
+        *[
+            F.lit(0).cast(LongType()).alias(c)
+            for c in (
+                "num_words",
+                "num_chars",
+                "num_alph_chars",
+                "num_numeric_chars",
+                "num_alphnum_chars",
+            )
+        ],
+        F.lit(0.0).alias("alnum_prop"),
+        F.lit(0.0).alias("alph_to_num_ratio"),
+    )
+    eligible = docs.filter(n_spans <= F.lit(cfg.max_doc_spans))
+
+    small = eligible.filter(n_spans <= F.lit(cfg.salt_threshold))
+    big = eligible.filter(n_spans > F.lit(cfg.salt_threshold))
+
+    small_out = small.select("doc_id", "spans").mapInPandas(
+        _make_classify_fn(cfg), schema=EXTRACTED_SCHEMA
+    )
+
+    # salted path: chunk → merge font state → broadcast join → classify →
+    # merge partials.  The groupBy keys are mega-doc ids only (few), so the
+    # shuffles here touch a tiny fraction of the data.
+    chunks = (
+        big.select("doc_id", "spans")
+        .mapInPandas(_make_chunk_fn(cfg), schema=_CHUNK_SCHEMA)
+        # spread one doc's chunks across the cluster — this IS the salt
+        .repartition("doc_id", "chunk_idx")
+    )
+    font_maps = (
+        chunks.select("doc_id", "chunk_idx", "font_state")
+        .groupBy("doc_id")
+        .applyInPandas(_merge_font_states, schema=_FONTMAP_SCHEMA)
+        .withColumnRenamed("font_state", "doc_font_state")
+    )
+    classified = (
+        chunks.drop("font_state")
+        .join(F.broadcast(font_maps), "doc_id")
+        .mapInPandas(_make_chunk_classify_fn(cfg), schema=_PARTIAL_SCHEMA)
+    )
+    big_out = classified.groupBy("doc_id").applyInPandas(
+        _make_merge_partials_fn(cfg), schema=EXTRACTED_SCHEMA
+    )
+
+    return small_out.unionByName(big_out).unionByName(too_big)
+
+
+def spans_out(extracted: DataFrame) -> DataFrame:
+    """The classified interleaved output table (the span-equality surface)."""
+    return extracted.filter("ok").select("doc_id", "spans")
+
+
+def doc_meta(extracted: DataFrame) -> DataFrame:
+    return extracted.filter("ok").select(
+        "doc_id",
+        "text",
+        "counts",
+        "quality",
+        "builtin_props",
+        "num_words",
+        "num_chars",
+        "num_alph_chars",
+        "num_numeric_chars",
+        "num_alphnum_chars",
+        "alnum_prop",
+        "alph_to_num_ratio",
+    )
+
+
+def rejects(extracted: DataFrame) -> DataFrame:
+    """Per-document fault isolation — the reference's failed_*.jsonl analog
+    (annotator_process.py:769-778) as a side-output table."""
+    return extracted.filter(~F.col("ok")).select("doc_id", "reject_reason")

@@ -1,0 +1,175 @@
+"""Input span signal grammar.
+
+The engine's input is an interleaved-document table
+``(doc_id, spans: array<struct<kind,text,media_ref,offset>>)``.  The ``kind``
+field of an *input* span carries the raw structural signal of the span — the
+analog of what the reference reads out of OOXML ``document.xml`` (style names,
+resolved font properties, numbering/math flags, table position, structural
+origin).  Grammar: ``<tag>`` or ``<tag>;k=v;k=v;...`` with ``;``/``=`` reserved.
+
+Tags
+----
+``r``    body-paragraph run.  Fields:
+         ``p``   paragraph index within the body (int)
+         ``s``   lowercase style name ('' ⇒ paragraph has no style)
+         ``psz`` applied paragraph-style font size in pt (float, -1 unknown)
+         ``pb``/``pi`` paragraph bold/italic: ``1``/``0``/``-`` (- = None)
+         ``sz``  applied run font size (float, -1 unknown)
+         ``b``/``i`` run bold/italic: ``1``/``0``/``-``
+         ``u``   run underline flag 0/1
+         ``m``   paragraph contains math (oMath analog) 0/1
+         ``n``   paragraph has list numbering (numPr analog) 0/1
+``hp``   header-stream paragraph run (field ``p``)
+``fp``   footer-stream paragraph run (field ``p``)
+``xp``   text-box paragraph run (field ``p``)
+``sdt``  structured-document-tag paragraph; field ``g`` = gallery string
+``tc``   table cell; fields ``t`` (table idx), ``r`` (row), ``c`` (col),
+         ``h`` (1 = header row)
+``fig``  embedded media; ``media_ref`` of the span is the pointer
+
+Paragraphs are maximal runs of consecutive spans sharing a tag + ``p`` (or
+``t`` for tables): document order is the ``offset`` order.  Font properties
+arrive *already resolved* through the style-inheritance chain (the reference
+resolves base-style chains at parse time, heuristics/utils.py:13-118); the
+unknown-size (``-1``) and tri-state bold/italic cases still occur and feed the
+same fallback logic.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+FONT_UNKNOWN = -1.0
+
+# levels used by the per-document font heuristic map
+LEVEL_BODY = -10
+LEVEL_TITLE = -20
+
+
+class RunSignal(NamedTuple):
+    tag: str
+    par: int
+    style: str
+    par_size: float
+    par_bold: bool | None
+    par_italic: bool | None
+    size: float
+    bold: bool | None
+    italic: bool | None
+    underline: bool
+    math: bool
+    numbered: bool
+    text: str
+
+
+class CellSignal(NamedTuple):
+    table: int
+    row: int
+    col: int
+    header: bool
+    text: str
+
+
+def _tri(v: str) -> bool | None:
+    if v == "-":
+        return None
+    return v == "1"
+
+
+def parse_fields(kind: str) -> tuple[str, dict[str, str]]:
+    parts = kind.split(";")
+    tag = parts[0]
+    fields = {}
+    for part in parts[1:]:
+        k, _, v = part.partition("=")
+        fields[k] = v
+    return tag, fields
+
+
+def parse_run(kind: str, text: str) -> RunSignal:
+    tag, f = parse_fields(kind)
+    return RunSignal(
+        tag=tag,
+        par=int(f.get("p", "0")),
+        style=f.get("s", ""),
+        par_size=float(f.get("psz", "-1")),
+        par_bold=_tri(f.get("pb", "-")),
+        par_italic=_tri(f.get("pi", "-")),
+        size=float(f.get("sz", "-1")),
+        bold=_tri(f.get("b", "-")),
+        italic=_tri(f.get("i", "-")),
+        underline=f.get("u", "0") == "1",
+        math=f.get("m", "0") == "1",
+        numbered=f.get("n", "0") == "1",
+        text=text,
+    )
+
+
+def parse_cell(kind: str, text: str) -> CellSignal:
+    _, f = parse_fields(kind)
+    return CellSignal(
+        table=int(f.get("t", "0")),
+        row=int(f.get("r", "0")),
+        col=int(f.get("c", "0")),
+        header=f.get("h", "0") == "1",
+        text=text,
+    )
+
+
+def _fmt_tri(v: bool | None) -> str:
+    return "-" if v is None else ("1" if v else "0")
+
+
+def encode_run(
+    par: int,
+    style: str,
+    par_size: float = FONT_UNKNOWN,
+    par_bold: bool | None = None,
+    par_italic: bool | None = None,
+    size: float = FONT_UNKNOWN,
+    bold: bool | None = None,
+    italic: bool | None = None,
+    underline: bool = False,
+    math: bool = False,
+    numbered: bool = False,
+    tag: str = "r",
+) -> str:
+    return (
+        f"{tag};p={par};s={style};psz={par_size};pb={_fmt_tri(par_bold)};"
+        f"pi={_fmt_tri(par_italic)};sz={size};b={_fmt_tri(bold)};"
+        f"i={_fmt_tri(italic)};u={int(underline)};m={int(math)};n={int(numbered)}"
+    )
+
+
+def encode_cell(table: int, row: int, col: int, header: bool) -> str:
+    return f"tc;t={table};r={row};c={col};h={int(header)}"
+
+
+def encode_sdt(gallery: str) -> str:
+    return f"sdt;g={gallery}"
+
+
+def fontprop_string(size: float, bold: bool | None, italic: bool | None) -> str:
+    """Canonical fontprop key: str(size) + b/i/bi/n suffix
+    (ref: heuristics/utils.py:216-234)."""
+    suffix = ""
+    if bold:
+        suffix += "b"
+    if italic:
+        suffix += "i"
+    return str(size) + (suffix or "n")
+
+
+def resolve_run_props(run: RunSignal) -> tuple[float, bool | None, bool | None]:
+    """Run props with paragraph-prop fallback for unknowns
+    (ref: heuristics/utils.py:237-249)."""
+    size = run.size if run.size != FONT_UNKNOWN else run.par_size
+    bold = run.bold if run.bold is not None else run.par_bold
+    italic = run.italic if run.italic is not None else run.par_italic
+    return size, bold, italic
+
+
+def is_whitespace(text: str) -> bool:
+    """A run is whitespace if empty after removing space/newline/tab/CR
+    (ref: heuristics/utils.py:200-213)."""
+    return not text.replace(" ", "").replace("\n", "").replace("\t", "").replace("\r", "")
