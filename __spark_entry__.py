@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction on sf0.001; ``queries()`` /
+``oracle_sql()`` expose every implemented operator (SURVEY.md §2) with DuckDB
+oracles where SQL-expressible.  Non-SQL-expressible ops (the span classifier
+itself, pandas-UDF media features, LSH ANN, url cleaning UDF, page filter
+over classifier counts) are rows-only here and pinned against the pure-Python
+oracle in tests/ instead (span-sequence equality, tests/test_extract_spark.py).
 """
 
 from __future__ import annotations
@@ -13,26 +14,22 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from wordscape_spark import datagen
+from wordscape_spark import queries as Q
+from wordscape_spark.operators import extract as X
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: classified ordered span sequences for every sf0.001 doc."""
+    path = datagen.ensure_interleaved(0.001)
+    docs = spark.read.parquet(path)
+    extracted = X.extract(docs)
+    return X.spans_out(extracted)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(Q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return Q.build_oracle_sql()

@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "docs_per_sec": ...}
+
+--scaling mode: runs the extraction job at two parallelism levels (local[8]
+and local[32]) on identical input and writes BENCH/BASELINE.md with
+throughput at both + scaling efficiency (the sandbox evidence for the
+N→4N-executor criterion in BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _noop_write(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_bench() -> dict:
+    from wordscape_spark import datagen
+    from wordscape_spark import queries as Q
+    from wordscape_spark.operators import extract as X
+    from wordscape_spark.session import build_session
+
+    sf = datagen.sf_from_dir(SF_DIR)
+    interleaved = datagen.ensure_interleaved(sf)
+
+    spark = build_session(
+        app_name="wordscape-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+    )
+    timings: dict[str, float] = {}
+
+    docs = spark.read.parquet(interleaved)
+    n_docs = docs.count()
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # headline: full extraction (classified spans + metadata for every doc)
+    timed("extract", lambda: _noop_write(X.extract(docs)))
+
+    # quality-gate / auxiliary operators at bench scale
+    timed(
+        "dedup_minhash",
+        lambda: _noop_write(Q.QUERIES["dedup_minhash"](spark, SF_DIR)),
+    )
+    timed(
+        "dedup_exact",
+        lambda: _noop_write(Q.QUERIES["dedup_exact"](spark, SF_DIR)),
+    )
+    timed(
+        "langid_metrics",
+        lambda: _noop_write(
+            Q.QUERIES["text_metrics"](spark, SF_DIR).join(
+                Q.QUERIES["langid"](spark, SF_DIR), "doc_id"
+            )
+        ),
+    )
+    timed(
+        "ann_brute_topk",
+        lambda: _noop_write(Q.QUERIES["ann_brute_topk"](spark, SF_DIR)),
+    )
+    timed(
+        "doc_whitelist",
+        lambda: _noop_write(Q.QUERIES["doc_whitelist"](spark, SF_DIR)),
+    )
+    timed(
+        "media_features",
+        lambda: _noop_write(Q.QUERIES["media_features"](spark, SF_DIR)),
+    )
+
+    spark.stop()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "wordscape_spark end-to-end operator suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / timings["extract"], 2),
+        "cpus": int(CPUS),
+    }
+
+
+def run_scaling() -> None:
+    """Same extraction job at local[8] vs local[32]; writes BENCH/BASELINE.md."""
+    results = {}
+    for cores in (8, 32):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_CPUS"] = str(cores)
+        env["SPARK_GRAFT_SF_DIR"] = SF_DIR
+        out = subprocess.run(
+            [sys.executable, __file__, "--extract-only"],
+            capture_output=True, text=True, env=env, cwd=REPO,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[cores] = json.loads(line)
+
+    t8 = results[8]["queries"]["extract"]
+    t32 = results[32]["queries"]["extract"]
+    n = results[8]["n_docs"]
+    thr8, thr32 = n / t8, n / t32
+    eff = (thr32 / thr8) / (32 / 8)
+
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "BASELINE.md").write_text(
+        f"""# BENCH/BASELINE — scaling evidence (N vs 4N parallelism)
+
+Same extraction job (`operators.extract.extract` over the deterministic
+interleaved table at {SF_DIR.rsplit('/', 1)[-1]}, {n} docs) run at two
+parallelism levels on identical input — the sandbox proxy for N vs 4N
+executors (BASELINE.json north_rule).
+
+| parallelism | wall (s) | docs/s |
+|---|---|---|
+| local[8]  (N)  | {t8:.2f} | {thr8:.1f} |
+| local[32] (4N) | {t32:.2f} | {thr32:.1f} |
+
+**Scaling efficiency (throughput_4N / throughput_N) / 4 = {eff:.3f}**
+(target ≥ 0.8 per BASELINE.json).
+"""
+    )
+    print(json.dumps({"t8": t8, "t32": t32, "efficiency": round(eff, 3)}))
+
+
+def run_extract_only() -> dict:
+    from wordscape_spark import datagen
+    from wordscape_spark.operators import extract as X
+    from wordscape_spark.session import build_session
+
+    sf = datagen.sf_from_dir(SF_DIR)
+    interleaved = datagen.ensure_interleaved(sf)
+    spark = build_session(
+        app_name="wordscape-bench-extract",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+    )
+    docs = spark.read.parquet(interleaved)
+    n_docs = docs.count()
+    t0 = time.monotonic()
+    _noop_write(X.extract(docs))
+    secs = round(time.monotonic() - t0, 3)
+    spark.stop()
+    return {
+        "metric": "extract",
+        "value": secs,
+        "unit": "sec",
+        "queries": {"extract": secs},
+        "sf": sf,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / secs, 2),
+        "cpus": int(CPUS),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    elif "--extract-only" in sys.argv:
+        print(json.dumps(run_extract_only()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,233 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Reference analog: WordScape dedups at URL/bytehash level (A6/A9/A12/B6/E6,
+e.g. /root/reference/app/src/cc_processing/deduplicate.py:10-56 builds an
+in-driver hash set).  Here dedup is distributed: hashes are columns, dedup is
+a shuffle/broadcast anti-join or LSH band join — no driver-side state.
+
+Determinism & oracle parity: every hash is md5-derived
+(``conv(substr(md5(x),1,15),16,10)`` ⇔ DuckDB ``('0x'||substr(md5(x),1,15))
+::BIGINT``), so the DuckDB oracle reproduces signatures bit-for-bit.
+
+Scale notes (100 TB):
+* signatures are computed per-row with array expressions (no explode) — one
+  narrow map stage, whole-stage codegen;
+* the LSH band join shuffles only (band_key, doc_id) pairs — band keys are
+  md5 strings, well distributed, AQE handles residual skew;
+* candidate verification joins shingle sets only for candidate pairs (a tiny
+  fraction), never all-pairs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+MINHASH_K = 16
+LSH_BANDS = 4  # 4 bands × 4 rows
+SHINGLE_N = 3
+
+
+def _hash64_spark(expr: str) -> str:
+    return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _hash64_duck(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def tokens_expr(col: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"split(lower(trim({col})), '\\\\s+')"
+    return f"regexp_split_to_array(lower(trim({col})), '\\s+')"
+
+
+def shingles_expr(col: str, dialect: str, n: int = SHINGLE_N) -> str:
+    """Distinct word n-gram shingles as an array expression (no explode)."""
+    toks = tokens_expr(col, dialect)
+    if dialect == "spark":
+        parts = ", ".join(f"{toks}[i + {j}]" for j in range(n))
+        return (
+            f"array_distinct(CASE WHEN size({toks}) < {n} THEN array() "
+            f"ELSE transform(sequence(0, size({toks}) - {n}), "
+            f"i -> concat_ws(' ', {parts})) END)"
+        )
+    # duckdb: lists are 1-indexed
+    parts = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(n))
+    return (
+        f"list_distinct(CASE WHEN len({toks}) < {n} THEN [] "
+        f"ELSE list_transform(range(1, len({toks}) - {n} + 2), "
+        f"i -> {parts}) END)"
+    )
+
+
+def minhash_exprs(dialect: str, k: int = MINHASH_K) -> list[str]:
+    """k minhash values over a `sh` (shingles array) column."""
+    out = []
+    for i in range(k):
+        if dialect == "spark":
+            h = _hash64_spark(f"concat('{i}:', s)")
+            out.append(
+                f"CASE WHEN size(sh) = 0 THEN {2**62} "
+                f"ELSE array_min(transform(sh, s -> {h})) END"
+            )
+        else:
+            h = _hash64_duck(f"'{i}:' || s")
+            out.append(
+                f"CASE WHEN len(sh) = 0 THEN {2**62} "
+                f"ELSE list_min(list_transform(sh, s -> {h})) END"
+            )
+    return out
+
+
+def band_key_expr(band: int, dialect: str, rows: int = MINHASH_K // LSH_BANDS) -> str:
+    cols = [f"mh{band * rows + j}" for j in range(rows)]
+    if dialect == "spark":
+        joined = ", ".join(f"CAST({c} AS STRING)" for c in cols)
+        return f"md5(concat_ws(',', {joined}))"
+    joined = " || ',' || ".join(f"{c}::VARCHAR" for c in cols)
+    return f"md5({joined})"
+
+
+def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id + shingles + minhash signature + LSH band keys."""
+    df = df.withColumn("sh", F.expr(shingles_expr(text_col, "spark")))
+    for i, e in enumerate(minhash_exprs("spark")):
+        df = df.withColumn(f"mh{i}", F.expr(e))
+    for b in range(LSH_BANDS):
+        df = df.withColumn(f"band{b}", F.expr(band_key_expr(b, "spark")))
+    return df
+
+
+def minhash_duplicate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH candidate generation + exact-Jaccard verify.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+    """
+    sigs = with_minhash(
+        df.select(F.col(id_col).cast("string").alias("doc_id"), text_col)
+    ).select(
+        "doc_id", "sh", *[f"band{b}" for b in range(LSH_BANDS)]
+    )
+
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("key"))
+                for b in range(LSH_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_id", "bk.key")
+
+    left = bands.alias("a")
+    right = bands.alias("b")
+    candidates = (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    sh = sigs.select("doc_id", "sh")
+    verified = (
+        candidates.join(sh.withColumnRenamed("doc_id", "doc_a")
+                        .withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sh", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.expr(
+                "round(CASE WHEN size(array_union(sh_a, sh_b)) = 0 THEN 0D "
+                "ELSE CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / "
+                "size(array_union(sh_a, sh_b)) END, 6)"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+# ------------------------------------------------------------------ simhash
+
+SIMHASH_BITS = 60  # stay within positive int64
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash over whitespace tokens (token weight = occurrences).
+
+    Array-expression formulation (no explode): per bit, sum over distinct
+    tokens of count·(±1) from the token hash's bit.
+    """
+    toks = tokens_expr(text_col, "spark")
+    h = _hash64_spark("t")
+    # aggregate over distinct tokens with their counts
+    bit_sums = (
+        f"transform(sequence(0, {SIMHASH_BITS - 1}), b -> "
+        f"aggregate(array_distinct({toks}), 0L, (acc, t) -> acc + "
+        f"size(filter({toks}, x -> x = t)) * "
+        f"(CASE WHEN (shiftright({h}, b) & 1) = 1 THEN 1 ELSE -1 END)))"
+    )
+    sim = (
+        f"aggregate(zip_with({bit_sums}, sequence(0, {SIMHASH_BITS - 1}), "
+        f"(s, b) -> CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) "
+        f"ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.expr(sim).alias("simhash"),
+    )
+
+
+def simhash_expr_duck(text_col: str) -> str:
+    """DuckDB twin of ``simhash`` (oracle use)."""
+    toks = tokens_expr(text_col, "duckdb")
+    h = _hash64_duck("t")
+    bit_sums = (
+        f"list_transform(range(0, {SIMHASH_BITS}), b -> "
+        f"list_sum(list_transform(list_distinct({toks}), t -> "
+        f"len(list_filter({toks}, x -> x = t)) * "
+        f"(CASE WHEN (({h} >> b) & 1) = 1 THEN 1 ELSE -1 END))))"
+    )
+    return (
+        f"CAST(list_sum(list_transform(list_zip({bit_sums}, "
+        f"range(0, {SIMHASH_BITS})), z -> "
+        f"CASE WHEN z[1] > 0 THEN (1::BIGINT << z[2]) ELSE 0::BIGINT END)) "
+        f"AS BIGINT)"
+    )
+
+
+# -------------------------------------------------------------- exact dedup
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Content-hash groups (bytehash dedup, ref: download_dump_data.py:155-168).
+
+    Returns (bytehash, n_docs, keep_doc_id): one row per distinct content,
+    keeping the smallest doc_id — the distributed `drop_duplicates` analog.
+    """
+    return (
+        df.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.sha2(F.col(text_col), 256).alias("bytehash"),
+        )
+        .groupBy("bytehash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )

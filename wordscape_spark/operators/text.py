@@ -1,0 +1,227 @@
+"""Text operators: normalization (E2), metrics (D10), language ID (E1),
+token counting, fingerprinting.
+
+All are pure column expressions (JVM-side, whole-stage codegen) — no Python
+in the hot path.  Each has a documented DuckDB-SQL twin used by the driver's
+correctness oracle; where an expression appears in both engines the dialect
+generator below emits it for each, so the two sides cannot drift.
+
+Reference semantics:
+* normalization — /root/reference/app/src/quality/text_normalizer.py:52-81
+  (cc_net lineage: strip → lower → accent fold → digits→0 → unicode punct →
+  drop non-printing)
+* metrics — app/src/annotation/annotation_objects.py:165-185
+* language ID — app/src/annotation/language_detection/inference.py:8-59
+  (fastText top-k; in-sandbox surrogate: stopword-hit scoring with the same
+  operator shape: map of lang→score + top_lang / top_lang_score columns)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from wordscape_spark.datagen import VOCAB
+
+# ----------------------------------------------------------- normalization
+
+# single-char folds expressible with translate() in both engines
+_ACCENT_SRC = "áàâäãåéèêëíìîïóòôöõúùûüçñýÿ"
+_ACCENT_DST = "aaaaaaeeeeiiiiooooouuuucnyy"
+_PUNCT_PAIRS = [
+    ("，", ","), ("。", "."), ("、", ","), ("„", '"'), ("”", '"'),
+    ("“", '"'), ("«", '"'), ("»", '"'), ("」", '"'), ("「", '"'),
+    ("《", '"'), ("》", '"'), ("´", "'"), ("∶", ":"), ("：", ":"),
+    ("？", "?"), ("！", "!"), ("（", "("), ("）", ")"), ("；", ";"),
+    ("–", "-"), ("’", "'"), ("━", "-"), ("〈", "<"), ("〉", ">"),
+    ("【", "["), ("】", "]"), ("％", "%"), ("►", "-"),
+]
+_PUNCT_SRC = "".join(s for s, _ in _PUNCT_PAIRS)
+_PUNCT_DST = "".join(d for _, d in _PUNCT_PAIRS)
+
+# multi-char folds need regexp_replace
+_MULTI = [("—", " - "), ("．", ". "), ("…", "...")]
+
+
+def _lit(s: str) -> str:
+    """SQL string literal (single-quote escaping; valid in both dialects)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _rx(pattern: str, dialect: str) -> str:
+    """Regex pattern as a SQL literal — Spark string literals also process
+    backslash escapes, DuckDB's do not."""
+    if dialect == "spark":
+        pattern = pattern.replace("\\", "\\\\")
+    return _lit(pattern)
+
+
+def normalize_expr(col: str, dialect: str) -> str:
+    """The E2 normalization chain as a SQL expression, per dialect.
+
+    ``dialect`` is 'spark' or 'duckdb'; dialect differences: DuckDB's
+    explicit 'g' flag on regexp_replace, literal escaping.
+    """
+    g = ", 'g'" if dialect == "duckdb" else ""
+    e = f"lower(trim({col}))"
+    e = f"translate({e}, {_lit(_ACCENT_SRC)}, {_lit(_ACCENT_DST)})"
+    for src, dst in _MULTI:
+        e = f"replace({e}, {_lit(src)}, {_lit(dst)})"
+    e = f"translate({e}, {_lit(_PUNCT_SRC)}, {_lit(_PUNCT_DST)})"
+    e = f"regexp_replace({e}, '[0-9]', '0'{g})"
+    nonprint = "[\\x00-\\x1f\\x7f]"
+    e = f"regexp_replace({e}, {_rx(nonprint, dialect)}, ''{g})"
+    return e
+
+
+def normalize(col: str = "text") -> Column:
+    return F.expr(normalize_expr(col, "spark"))
+
+
+# ----------------------------------------------------------------- metrics
+
+_PUNCT_CLASS = r"[!-/:-@\[-`{-~]"  # ascii string.punctuation as a class
+
+
+def metrics_exprs(col: str, dialect: str) -> dict[str, str]:
+    """D10 text metrics as SQL expressions (identical results per dialect)."""
+    g = ", 'g'" if dialect == "duckdb" else ""
+    length = "length"
+    nopunct = f"regexp_replace({col}, {_rx(_PUNCT_CLASS, dialect)}, ''{g})"
+    # strip ALL whitespace at the edges (python str.split semantics — sql
+    # trim() only strips spaces, not \t/\n)
+    strip_rx = _rx(r"^\s+|\s+$", dialect)
+    stripped = f"regexp_replace({nopunct}, {strip_rx}, ''{g})"
+    if dialect == "spark":
+        words = f"size(split({stripped}, '\\\\s+'))"
+        words = f"(CASE WHEN length({stripped}) = 0 THEN 0 ELSE {words} END)"
+    else:
+        words = (
+            f"(CASE WHEN length({stripped}) = 0 THEN 0 ELSE "
+            f"len(regexp_split_to_array({stripped}, '\\s+')) END)"
+        )
+    # letter classes include Latin-1 letters so the SQL twin agrees with
+    # Python str.isalpha() over the engine's text alphabet
+    letters = "A-Za-zÀ-ÖØ-öø-ÿ"
+    alph = f"{length}(regexp_replace({col}, '[^{letters}]', ''{g}))"
+    num = f"{length}(regexp_replace({col}, '[^0-9]', ''{g}))"
+    alnum = f"{length}(regexp_replace({col}, '[^{letters}0-9]', ''{g}))"
+    return {
+        "num_words": f"CAST({words} AS BIGINT)",
+        "num_chars": f"CAST({length}({col}) AS BIGINT)",
+        "num_alph_chars": f"CAST({alph} AS BIGINT)",
+        "num_numeric_chars": f"CAST({num} AS BIGINT)",
+        "num_alphnum_chars": f"CAST({alnum} AS BIGINT)",
+        "alnum_prop": (
+            f"CAST(CASE WHEN {length}({col}) = 0 THEN 0.0 "
+            f"ELSE round({alnum} * 1.0 / {length}({col}), 6) END AS DOUBLE)"
+        ),
+        "alph_to_num_ratio": (
+            f"CAST(CASE WHEN {num} = 0 THEN 0.0 "
+            f"ELSE round({alph} * 1.0 / {num}, 6) END AS DOUBLE)"
+        ),
+    }
+
+
+def with_metrics(df: DataFrame, col: str = "text") -> DataFrame:
+    for name, expr in metrics_exprs(col, "spark").items():
+        df = df.withColumn(name, F.expr(expr))
+    return df
+
+
+# ------------------------------------------------------------- language id
+
+# deterministic stopword tables (broadcast as literals into codegen)
+LANGS = tuple(sorted(VOCAB))  # de, en, fr
+_STOPWORDS = {lang: tuple(sorted(set(ws))) for lang, ws in VOCAB.items()}
+
+
+def _lang_hits_expr(col: str, lang: str, dialect: str) -> str:
+    stops = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
+    if dialect == "spark":
+        return (
+            f"size(filter(split(lower({col}), '\\\\s+'), "
+            f"t -> t IN ({stops})))"
+        )
+    return (
+        f"len(list_filter(regexp_split_to_array(lower({col}), '\\s+'), "
+        f"t -> t IN ({stops})))"
+    )
+
+
+def langid_exprs(col: str, dialect: str) -> dict[str, str]:
+    """fastText-surrogate language scores: per-language stopword-hit rate,
+    a deterministic score map + argmax columns (same operator shape as E1)."""
+    if dialect == "spark":
+        ntok = f"size(split(lower({col}), '\\\\s+'))"
+    else:
+        ntok = f"len(regexp_split_to_array(lower({col}), '\\s+'))"
+    out: dict[str, str] = {}
+    for lang in LANGS:
+        hits = _lang_hits_expr(col, lang, dialect)
+        out[f"score_{lang}"] = (
+            f"CAST(CASE WHEN {ntok} = 0 THEN 0.0 "
+            f"ELSE round({hits} * 1.0 / {ntok}, 6) END AS DOUBLE)"
+        )
+    # argmax with deterministic tie-break by language order
+    best = "CASE "
+    for lang in LANGS:
+        others = [
+            f"score_{o} <= score_{lang}" for o in LANGS if o != lang
+        ]
+        # earlier languages win ties ⇒ strict for earlier, non-strict later
+        conds = []
+        for o in LANGS:
+            if o == lang:
+                continue
+            op = "<" if LANGS.index(o) < LANGS.index(lang) else "<="
+            conds.append(f"score_{o} {op} score_{lang}")
+        best += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+    best += "ELSE 'unknown' END"
+    out["top_lang"] = best
+    out["top_lang_score"] = (
+        "greatest(" + ", ".join(f"score_{lang}" for lang in LANGS) + ")"
+    )
+    return out
+
+
+def with_langid(df: DataFrame, col: str = "text") -> DataFrame:
+    exprs = langid_exprs(col, "spark")
+    for name in [f"score_{lang}" for lang in LANGS]:
+        df = df.withColumn(name, F.expr(exprs[name]))
+    df = df.withColumn("top_lang", F.expr(exprs["top_lang"]))
+    df = df.withColumn("top_lang_score", F.expr(exprs["top_lang_score"]))
+    return df
+
+
+# ------------------------------------------------------------ token counts
+
+_BPE_ISH = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+
+def token_exprs(col: str, dialect: str) -> dict[str, str]:
+    if dialect == "spark":
+        ws = (
+            f"CASE WHEN length(trim({col})) = 0 THEN 0 "
+            f"ELSE size(split(trim({col}), '\\\\s+')) END"
+        )
+        bpe = f"size(regexp_extract_all({col}, {_rx(_BPE_ISH, 'spark')}, 0))"
+    else:
+        ws = (
+            f"CASE WHEN length(trim({col})) = 0 THEN 0 "
+            f"ELSE len(regexp_split_to_array(trim({col}), '\\s+')) END"
+        )
+        bpe = f"len(regexp_extract_all({col}, {_rx(_BPE_ISH, 'duckdb')}))"
+    return {
+        "tokens_ws": f"CAST({ws} AS BIGINT)",
+        "tokens_bpe": f"CAST({bpe} AS BIGINT)",
+    }
+
+
+# ------------------------------------------------------------- fingerprint
+
+
+def fingerprint_expr(col: str, dialect: str) -> str:
+    """Document fingerprint: md5 over the normalized text (rolling-hash
+    analog of the reference's bytehash, download_process.py:367)."""
+    return f"md5({normalize_expr(col, dialect)})"

@@ -1,0 +1,94 @@
+"""Stage-A operators: URL hashing, cleaning, doc-id assignment, dedup,
+recovery anti-joins (SURVEY §2.1, ref: app/src/cc_processing/*).
+
+The reference runs these as pandas jobs over worker parquet shards with an
+in-memory global hash set (deduplicate.py:10-56); here each is a declarative
+DataFrame op — dedup/recovery become shuffle or broadcast anti-joins that
+Catalyst plans (broadcast when history is small, AQE otherwise).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+from urllib.parse import unquote
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StringType
+
+# regexes mirroring the reference's url matching intent
+# (cc_url_process.py:37; preprocess_cc_urls.py:33-69)
+_URL_START = re.compile(r"(www|http:|https:)")
+_DOC_URL = re.compile(r"^(www|http:|https:)+[^\s]+[\w]\.(doc|docx)$")
+
+
+def with_url_hash(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """A8: sha256(url) (ref: preprocess_cc_urls.py:93-96)."""
+    return df.withColumn("url_hash", F.sha2(F.col(url_col), 256))
+
+
+def dedup_by(df: DataFrame, *cols: str) -> DataFrame:
+    """A6/A9: in-dump dedup (ref: cc_parse_merge_and_recover_urls.py:61-65)."""
+    return df.dropDuplicates(list(cols))
+
+
+def assign_doc_ids(df: DataFrame, source_col: str = "source",
+                   order_col: str = "url_hash") -> DataFrame:
+    """A10: per-source running index, zero-padded (preprocess_cc_urls.py:128-131).
+
+    Window over source partitions — sources are few and large, but the window
+    only carries (source, url_hash): acceptable shuffle.  At 10^12 rows use
+    monotonically-increasing ids per partition instead (documented tradeoff).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(source_col).orderBy(order_col)
+    return df.withColumn(
+        "assigned_doc_id",
+        F.concat_ws(
+            "-",
+            F.col(source_col),
+            F.lpad(F.row_number().over(w).cast("string"), 9, "0"),
+        ),
+    )
+
+
+def anti_join_history(df: DataFrame, history: DataFrame,
+                      key: str = "url_hash") -> DataFrame:
+    """A12/B6: cross-dump dedup as an anti-join (deduplicate.py:10-56 —
+    the driver-memory hash set becomes a distributed anti-join)."""
+    return df.join(history.select(key), key, "left_anti")
+
+
+def filter_doc_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """A3: keep candidate .doc/.docx urls (cc_url_process.py:37)."""
+    return df.filter(
+        F.col(url_col).rlike(r"^(www|http:|https:).*[0-9A-Za-z_]\.docx?$")
+    )
+
+
+def _clean_url(url: str) -> str | None:
+    """A11 url cleaning (ref: preprocess_cc_urls.py:33-69): unquote, then
+    slice from the last plausible scheme start so that wrapped/concatenated
+    urls yield the innermost well-formed one."""
+    if url is None:
+        return None
+    u = unquote(url.strip())
+    starts = [m.start() for m in _URL_START.finditer(u)]
+    if not starts:
+        return None
+    u = u[starts[-1]:]
+    return u if _DOC_URL.match(u) else u
+
+
+def clean_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Vectorized pandas-UDF url cleaner (branchy logic, Arrow-batched)."""
+
+    @F.pandas_udf(StringType())
+    def clean(batch_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batch_iter:
+            yield s.map(_clean_url)
+
+    return df.withColumn("clean_url", clean(F.col(url_col)))

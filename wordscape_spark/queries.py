@@ -1,0 +1,623 @@
+"""Query registry: every implemented operator as a (Spark callable, DuckDB
+oracle SQL) pair for the driver's correctness gate.
+
+Conventions:
+* each Spark callable takes (spark, sf_dir) and aliases every output column
+  to the same name the oracle SQL uses;
+* float outputs are rounded identically on both sides (6 dp; cosine 4 dp);
+* extraction queries run over the deterministic interleaved table derived
+  from the sf (generated on demand under /root/repo/data/interleaved);
+  their oracles read the same parquet via read_parquet();
+* genuinely non-SQL-expressible ops (the classifier itself, pandas-UDF
+  media features, LSH ANN) have no oracle entry → driver rows-only check;
+  their semantics are pinned by tests/ instead.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from wordscape_spark import datagen
+from wordscape_spark.operators import dedup as D
+from wordscape_spark.operators import extract as X
+from wordscape_spark.operators import filters as FL
+from wordscape_spark.operators import multimodal as MM
+from wordscape_spark.operators import similarity as SIM
+from wordscape_spark.operators import text as T
+from wordscape_spark.operators import urls as U
+
+ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's comparison scale
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(
+        datagen.ensure_interleaved(datagen.sf_from_dir(sf_dir))
+    )
+
+
+def _interleaved_oracle_path() -> str:
+    return datagen.ensure_interleaved(datagen.sf_from_dir(ORACLE_SF_DIR))
+
+
+_URL = "concat('https://example.com/', source, '/', CAST(doc_id AS STRING), '.docx')"
+_URL_DUCK = "'https://example.com/' || source || '/' || CAST(doc_id AS VARCHAR) || '.docx'"
+
+
+# ---------------------------------------------------------------------------
+# Stage A — URL operators
+# ---------------------------------------------------------------------------
+
+
+def q_a_url_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).withColumn("url", F.expr(_URL))
+    df = U.with_url_hash(df)
+    df = U.dedup_by(df, "url_hash")
+    return df.groupBy("source").agg(F.count("*").alias("n_urls"))
+
+
+def q_a_doc_id_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).withColumn("url", F.expr(_URL))
+    df = U.with_url_hash(df)
+    return U.assign_doc_ids(df).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "assigned_doc_id"
+    )
+
+
+def q_a_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = U.with_url_hash(
+        _docs(spark, sf_dir).withColumn("url", F.expr(_URL))
+    )
+    history = df.filter("doc_id % 7 = 0").select("url_hash")
+    return U.anti_join_history(df, history).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "url_hash"
+    )
+
+
+def q_a_filter_doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).withColumn(
+        "url",
+        F.expr(
+            f"CASE WHEN doc_id % 3 = 0 THEN {_URL} "
+            f"ELSE concat('https://example.com/page', CAST(doc_id AS STRING), "
+            f"'.html') END"
+        ),
+    )
+    return U.filter_doc_urls(df).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "url"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text operators
+# ---------------------------------------------------------------------------
+
+
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return T.with_metrics(df).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *T.metrics_exprs("text", "spark").keys(),
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = T.with_langid(_docs(spark, sf_dir))
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *[f"score_{lang}" for lang in T.LANGS],
+        "top_lang",
+        "top_lang_score",
+    )
+
+
+def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        T.normalize("text").alias("norm_text"),
+        F.expr(T.fingerprint_expr("text", "spark")).alias("fingerprint"),
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    exprs = T.token_exprs("text", "spark")
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        *[F.expr(e).alias(name) for name, e in exprs.items()],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup operators
+# ---------------------------------------------------------------------------
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies of every 50th doc (planted duplicates)."""
+    base = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    copies = (
+        _docs(spark, sf_dir)
+        .filter("doc_id % 50 = 0")
+        .select(
+            F.expr("CAST(doc_id + 100000 AS STRING)").alias("doc_id"), "text"
+        )
+    )
+    return base.unionByName(copies)
+
+
+_DUP_CORPUS_DUCK = """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+    UNION ALL
+    SELECT CAST(doc_id + 100000 AS VARCHAR) AS doc_id, text
+    FROM documents WHERE doc_id % 50 = 0
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicate_groups(_dup_corpus(spark, sf_dir)).filter(
+        "n_docs > 1"
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_duplicate_pairs(
+        _dup_corpus(spark, sf_dir), threshold=0.5
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).filter("doc_id < 30")
+    return D.simhash(df)
+
+
+# ---------------------------------------------------------------------------
+# Quality filters
+# ---------------------------------------------------------------------------
+
+
+def q_doc_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    df = df.withColumn(
+        "pseudo_perplexity", F.expr(FL.pseudo_perplexity_expr("text", "spark"))
+    ).withColumn(
+        "quality",
+        F.expr(T.metrics_exprs("text", "spark")["alnum_prop"]),
+    )
+    return FL.doc_whitelist(df).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "quality",
+        "pseudo_perplexity",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter("vec_id % 97 = 0")
+    return SIM.brute_force_topk(emb, queries, k=5).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cos",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter("vec_id % 97 = 0")
+    return SIM.lsh_topk(emb, queries, k=5).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cos",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extraction queries (interleaved table)
+# ---------------------------------------------------------------------------
+
+
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    extracted = X.extract(_interleaved(spark, sf_dir))
+    return extracted.filter("ok").select("doc_id", "text")
+
+
+def q_extract_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    extracted = X.extract(_interleaved(spark, sf_dir))
+    return extracted.filter("ok").select(
+        "doc_id",
+        "num_words",
+        "num_chars",
+        "num_alph_chars",
+        "num_numeric_chars",
+        "num_alphnum_chars",
+        F.round("alnum_prop", 6).alias("alnum_prop"),
+        F.round("alph_to_num_ratio", 6).alias("alph_to_num_ratio"),
+    )
+
+
+def q_extract_reject_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    extracted = X.extract(_interleaved(spark, sf_dir))
+    return (
+        X.rejects(extracted)
+        .groupBy("reject_reason")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flattened classified span stream (the span-equality surface).
+
+    No SQL oracle (the classifier is not SQL-expressible); span equality vs
+    the pure-Python oracle is enforced in tests/test_extract_spark.py.
+    """
+    extracted = X.extract(_interleaved(spark, sf_dir))
+    return (
+        X.spans_out(extracted)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("offset"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+    )
+
+
+def q_extract_entity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    extracted = X.extract(_interleaved(spark, sf_dir))
+    return (
+        extracted.filter("ok")
+        .select(F.explode("counts").alias("kind", "n"))
+        .groupBy("kind")
+        .agg(F.sum("n").alias("total"))
+    )
+
+
+def q_extract_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    extracted = X.extract(_interleaved(spark, sf_dir))
+    return extracted.filter("ok").select(
+        "doc_id", F.round("quality", 6).alias("quality")
+    )
+
+
+def q_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    extracted = X.extract(_interleaved(spark, sf_dir))
+    meta = X.doc_meta(extracted)
+    return FL.page_filter(meta).select("doc_id", "num_words")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.media_table(_interleaved(spark, sf_dir))
+    return media.select(
+        "doc_id",
+        "media_ref",
+        F.length("content").cast("long").alias("n_bytes"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.media_table(_interleaved(spark, sf_dir))
+    return MM.extract_features(media)
+
+
+def q_clean_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).withColumn(
+        "url",
+        F.expr(
+            "concat('wrapped https://inner.example.com/', source, '/', "
+            "CAST(doc_id AS STRING), '.docx')"
+        ),
+    )
+    return U.clean_urls(df).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "clean_url"
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def _metrics_select_duck(col: str) -> str:
+    return ", ".join(
+        f"{expr} AS {name}" for name, expr in T.metrics_exprs(col, "duckdb").items()
+    )
+
+
+def build_oracle_sql() -> dict[str, str]:
+    ipath = _interleaved_oracle_path()
+    m = T.metrics_exprs("text", "duckdb")
+    lang = T.langid_exprs("text", "duckdb")
+    tok = T.token_exprs("text", "duckdb")
+    sh = D.shingles_expr("text", "duckdb")
+    mh = D.minhash_exprs("duckdb")
+    mh_select = ", ".join(f"{e} AS mh{i}" for i, e in enumerate(mh))
+    bands_union = "\n      UNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_id, {D.band_key_expr(b, 'duckdb')} AS key FROM sig"
+        for b in range(D.LSH_BANDS)
+    )
+    ppl = FL.pseudo_perplexity_expr("text", "duckdb")
+
+    serial_cte = f"""
+    WITH raw AS (
+      SELECT doc_id, u.kind AS kind, coalesce(u.text, '') AS text,
+             u."offset" AS off
+      FROM (SELECT doc_id, unnest(spans) AS u FROM read_parquet('{ipath}'))
+    ),
+    s AS (
+      SELECT doc_id, kind, text, off,
+             split_part(kind, ';', 1) AS tag,
+             regexp_extract(kind, 'p=([0-9]+)', 1) AS p,
+             regexp_extract(kind, ';t=([0-9]+)', 1) AS t,
+             regexp_extract(kind, ';r=([0-9]+)', 1) AS r
+      FROM raw
+    ),
+    pars AS (
+      SELECT doc_id, min(off) AS ord, string_agg(text, '' ORDER BY off) AS etext
+      FROM s WHERE tag = 'r' GROUP BY doc_id, p
+    ),
+    trows AS (
+      SELECT doc_id, t, CAST(r AS INT) AS rn, min(off) AS roff,
+             string_agg(text, chr(9) ORDER BY off) AS rowtext
+      FROM s WHERE tag = 'tc' GROUP BY doc_id, t, r
+    ),
+    tbls AS (
+      SELECT doc_id, min(roff) AS ord,
+             string_agg(rowtext, chr(10) ORDER BY rn) AS etext
+      FROM trows GROUP BY doc_id, t
+    ),
+    elems AS (
+      SELECT doc_id, ord, etext FROM pars
+      UNION ALL
+      SELECT doc_id, ord, etext FROM tbls
+    ),
+    doctext AS (
+      SELECT doc_id, string_agg(etext, chr(10) ORDER BY ord) AS text
+      FROM elems WHERE length(etext) > 0 GROUP BY doc_id
+    ),
+    alldocs AS (
+      SELECT doc_id, len(spans) AS n_spans FROM read_parquet('{ipath}')
+    ),
+    gated AS (
+      SELECT a.doc_id AS doc_id, coalesce(d.text, '') AS text
+      FROM alldocs a LEFT JOIN doctext d USING (doc_id)
+      WHERE length(coalesce(d.text, '')) >= 200 AND a.n_spans <= 200000
+    )
+    """
+
+    oracles: dict[str, str] = {}
+
+    oracles["a_url_hash_dedup"] = f"""
+    WITH u AS (
+      SELECT DISTINCT ON (url_hash) source, url_hash FROM (
+        SELECT source, sha256({_URL_DUCK}) AS url_hash FROM documents
+      )
+    )
+    SELECT source, count(*) AS n_urls FROM u GROUP BY source
+    """
+
+    oracles["a_doc_id_assign"] = f"""
+    SELECT doc_id,
+           source || '-' || lpad(CAST(rn AS VARCHAR), 9, '0') AS assigned_doc_id
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source ORDER BY sha256({_URL_DUCK})
+             ) AS rn
+      FROM documents
+    )
+    """
+
+    oracles["a_anti_join"] = f"""
+    WITH hashed AS (
+      SELECT doc_id, sha256({_URL_DUCK}) AS url_hash FROM documents
+    )
+    SELECT doc_id, url_hash FROM hashed
+    WHERE url_hash NOT IN (SELECT url_hash FROM hashed WHERE doc_id % 7 = 0)
+    """
+
+    oracles["a_filter_doc_urls"] = f"""
+    SELECT doc_id, url FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN {_URL_DUCK}
+                  ELSE 'https://example.com/page' || CAST(doc_id AS VARCHAR)
+                       || '.html' END AS url
+      FROM documents
+    )
+    WHERE regexp_matches(url, '^(www|http:|https:).*[0-9A-Za-z_]\\.docx?$')
+    """
+
+    oracles["text_metrics"] = (
+        "SELECT doc_id, "
+        + ", ".join(f"{expr} AS {name}" for name, expr in m.items())
+        + " FROM documents"
+    )
+
+    oracles["langid"] = (
+        "WITH scored AS (SELECT doc_id, "
+        + ", ".join(f"{lang[f'score_{x}']} AS score_{x}" for x in T.LANGS)
+        + " FROM documents) SELECT doc_id, "
+        + ", ".join(f"score_{x}" for x in T.LANGS)
+        + f", {lang['top_lang']} AS top_lang"
+        + f", {lang['top_lang_score']} AS top_lang_score FROM scored"
+    )
+
+    oracles["normalize"] = f"""
+    SELECT doc_id,
+           {T.normalize_expr('text', 'duckdb')} AS norm_text,
+           {T.fingerprint_expr('text', 'duckdb')} AS fingerprint
+    FROM documents
+    """
+
+    oracles["token_counts"] = (
+        "SELECT doc_id, "
+        + ", ".join(f"{expr} AS {name}" for name, expr in tok.items())
+        + " FROM documents"
+    )
+
+    oracles["dedup_exact"] = f"""
+    WITH corpus AS ({_DUP_CORPUS_DUCK})
+    SELECT bytehash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+    FROM (SELECT doc_id, sha256(text) AS bytehash FROM corpus)
+    GROUP BY bytehash HAVING count(*) > 1
+    """
+
+    oracles["dedup_minhash"] = f"""
+    WITH corpus AS ({_DUP_CORPUS_DUCK}),
+    shs AS (SELECT doc_id, {sh} AS sh FROM corpus),
+    sig AS (SELECT doc_id, sh, {mh_select} FROM shs),
+    bands AS (
+      {bands_union}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             round(CASE WHEN len(list_distinct(sa.sh || sb.sh)) = 0 THEN 0.0
+                   ELSE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                        len(list_distinct(sa.sh || sb.sh)) END, 6) AS jaccard
+      FROM cand c
+      JOIN shs sa ON sa.doc_id = c.doc_a
+      JOIN shs sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+    """
+
+    oracles["dedup_simhash"] = f"""
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           {D.simhash_expr_duck('text')} AS simhash
+    FROM documents WHERE doc_id < 30
+    """
+
+    oracles["doc_whitelist"] = f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {m['alnum_prop']} AS quality,
+             {ppl} AS pseudo_perplexity
+      FROM documents
+    ),
+    th AS (
+      SELECT lang,
+             round(quantile_cont(quality, 0.5), 6) AS q_median,
+             round(quantile_cont(pseudo_perplexity, 0.8), 6) AS ppl_p80
+      FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id AS doc_id, s.lang AS lang, s.quality AS quality,
+           s.pseudo_perplexity AS pseudo_perplexity
+    FROM scored s JOIN th USING (lang)
+    WHERE s.quality >= th.q_median AND s.pseudo_perplexity <= th.ppl_p80
+      AND s.lang != 'unknown'
+    """
+
+    oracles["ann_brute_topk"] = """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec
+      FROM embeddings WHERE vec_id % 97 = 0
+    ),
+    s AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qvec::DOUBLE[],
+                                          e.embedding::DOUBLE[]), 4) AS cos
+      FROM embeddings e, q WHERE e.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+      ) AS INT) AS rank FROM s
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+    """
+
+    oracles["extract_text"] = serial_cte + "SELECT doc_id, text FROM gated"
+
+    oracles["extract_text_metrics"] = (
+        serial_cte
+        + "SELECT doc_id, "
+        + ", ".join(f"{expr} AS {name}" for name, expr in m.items())
+        + " FROM gated"
+    )
+
+    oracles["extract_reject_counts"] = (
+        serial_cte.replace(
+            "WHERE length(coalesce(d.text, '')) >= 200",
+            "WHERE length(coalesce(d.text, '')) < 200",
+        )
+        + "SELECT 'min_text' AS reject_reason, count(*) AS n FROM gated"
+    )
+
+    oracles["media_stats"] = f"""
+    WITH figs AS (
+      SELECT doc_id, u.media_ref AS media_ref,
+             md5(doc_id || '/' || u.media_ref) AS seed
+      FROM (SELECT doc_id, unnest(spans) AS u FROM read_parquet('{ipath}'))
+      WHERE u.media_ref IS NOT NULL
+    )
+    SELECT doc_id, media_ref,
+           CAST(64 + (('0x' || substr(seed, 1, 4))::INT % 4096) AS BIGINT)
+             AS n_bytes,
+           CAST(32 + (('0x' || substr(seed, 1, 4))::INT % 993) AS BIGINT)
+             AS width,
+           CAST(32 + (('0x' || substr(seed, 5, 4))::INT % 993) AS BIGINT)
+             AS height
+    FROM figs
+    """
+
+    return oracles
+
+
+QUERIES = {
+    "a_url_hash_dedup": q_a_url_hash_dedup,
+    "a_doc_id_assign": q_a_doc_id_assign,
+    "a_anti_join": q_a_anti_join,
+    "a_filter_doc_urls": q_a_filter_doc_urls,
+    "a_clean_urls": q_clean_urls,
+    "text_metrics": q_text_metrics,
+    "langid": q_langid,
+    "normalize": q_normalize,
+    "token_counts": q_token_counts,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "doc_whitelist": q_doc_whitelist,
+    "ann_brute_topk": q_ann_brute_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "extract_text": q_extract_text,
+    "extract_text_metrics": q_extract_text_metrics,
+    "extract_reject_counts": q_extract_reject_counts,
+    "extract_spans": q_extract_spans,
+    "extract_entity_counts": q_extract_entity_counts,
+    "extract_quality": q_extract_quality,
+    "page_filter": q_page_filter,
+    "media_stats": q_media_stats,
+    "media_features": q_media_features,
+}
