@@ -20,6 +20,7 @@ import pathlib
 import subprocess
 import sys
 import time
+from shutil import which as shutil_which
 
 REPO = pathlib.Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
@@ -65,6 +66,19 @@ def run_bench() -> dict:
         "dedup_minhash",
         lambda: _noop_write(Q.QUERIES["dedup_minhash"](spark, SF_DIR)),
     )
+    from wordscape_spark.operators import dedup as D
+
+    timed(
+        "dedup_minhash_fast",
+        lambda: _noop_write(
+            D.minhash_duplicate_pairs(
+                spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+                    "CAST(doc_id AS STRING) AS doc_id", "text"
+                ),
+                fast=True,
+            )
+        ),
+    )
     timed(
         "dedup_exact",
         lambda: _noop_write(Q.QUERIES["dedup_exact"](spark, SF_DIR)),
@@ -105,15 +119,26 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> None:
-    """Same extraction job at local[8] vs local[32]; writes BENCH/BASELINE.md."""
+    """Same extraction job at local[8] vs local[32]; writes BENCH/BASELINE.md.
+
+    Each run is pinned to exactly that many CPUs with taskset — otherwise the
+    "8-core" JVM/Python workers spill onto the idle 24 cores and the N-run
+    throughput is inflated, understating true N→4N scaling.
+    """
+    # a larger input than the per-round bench: at sf0.1 (20k docs) fixed
+    # session/stage costs are ~60% of the 32-core wall and the measurement
+    # reflects startup, not scaling; sf0.8 (160k docs) is compute-dominated.
+    scaling_sf_dir = os.environ.get("SPARK_GRAFT_SCALING_SF_DIR", "/root/testdata/sf0.8")
     results = {}
     for cores in (8, 32):
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = str(cores)
-        env["SPARK_GRAFT_SF_DIR"] = SF_DIR
+        env["SPARK_GRAFT_SF_DIR"] = scaling_sf_dir
+        cmd = [sys.executable, __file__, "--extract-only"]
+        if shutil_which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, __file__, "--extract-only"],
-            capture_output=True, text=True, env=env, cwd=REPO,
+            cmd, capture_output=True, text=True, env=env, cwd=REPO,
         )
         line = out.stdout.strip().splitlines()[-1]
         results[cores] = json.loads(line)
@@ -130,9 +155,11 @@ def run_scaling() -> None:
         f"""# BENCH/BASELINE — scaling evidence (N vs 4N parallelism)
 
 Same extraction job (`operators.extract.extract` over the deterministic
-interleaved table at {SF_DIR.rsplit('/', 1)[-1]}, {n} docs) run at two
-parallelism levels on identical input — the sandbox proxy for N vs 4N
-executors (BASELINE.json north_rule).
+interleaved table at {scaling_sf_dir.rsplit('/', 1)[-1]}, {n} docs) run at
+two parallelism levels on identical input, each pinned with taskset to
+exactly that many CPUs — the sandbox proxy for N vs 4N executors
+(BASELINE.json north_rule).  Wall time is the steady-state (post-warmup)
+run; at this input size compute dominates fixed session/stage costs.
 
 | parallelism | wall (s) | docs/s |
 |---|---|---|
@@ -160,8 +187,10 @@ def run_extract_only() -> dict:
     )
     docs = spark.read.parquet(interleaved)
     n_docs = docs.count()
+    extracted = X.extract(docs)
+    _noop_write(extracted)  # warmup: python workers spawn + code paths JIT
     t0 = time.monotonic()
-    _noop_write(X.extract(docs))
+    _noop_write(extracted)
     secs = round(time.monotonic() - t0, 3)
     spark.stop()
     return {

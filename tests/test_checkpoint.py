@@ -1,0 +1,52 @@
+"""Resume-idempotence: kill a checkpointed run after k buckets, re-run,
+output must be identical to an uninterrupted run."""
+
+import pathlib
+import shutil
+
+import pytest
+
+from wordscape_spark import datagen
+from wordscape_spark.plans import checkpoint as CP
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(datagen.ensure_interleaved(0.001))
+
+
+def _collect(df):
+    rows = df.select("doc_id", "ok", "text", "quality").collect()
+    return sorted((r["doc_id"], r["ok"], r["text"], r["quality"]) for r in rows)
+
+
+def test_resume_after_failure_is_identical(spark, docs, tmp_path_factory):
+    clean_dir = str(tmp_path_factory.mktemp("cp_clean"))
+    resumed_dir = str(tmp_path_factory.mktemp("cp_resumed"))
+
+    baseline = CP.run_extract_checkpointed(spark, docs, clean_dir, n_buckets=4)
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        CP.run_extract_checkpointed(
+            spark, docs, resumed_dir, n_buckets=4, fail_after=2
+        )
+    assert len(CP.completed_buckets(resumed_dir)) == 2
+
+    resumed = CP.run_extract_checkpointed(spark, docs, resumed_dir, n_buckets=4)
+    assert _collect(baseline) == _collect(resumed)
+
+    # lineage accounting covers every bucket exactly once
+    lineage = CP.read_lineage(spark, resumed_dir).collect()
+    assert sorted(r["bucket"] for r in lineage) == [0, 1, 2, 3]
+
+    metrics = CP.metrics_table(spark, resumed_dir).first()
+    assert metrics["total_docs"] == docs.count()
+    assert metrics["docs_per_sec"] > 0
+
+
+def test_rerun_completed_is_noop(spark, docs, tmp_path):
+    out = str(tmp_path / "cp")
+    CP.run_extract_checkpointed(spark, docs, out, n_buckets=2)
+    lineage_before = pathlib.Path(out, "lineage.jsonl").read_text()
+    CP.run_extract_checkpointed(spark, docs, out, n_buckets=2)
+    assert pathlib.Path(out, "lineage.jsonl").read_text() == lineage_before

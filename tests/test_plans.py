@@ -1,0 +1,76 @@
+"""Physical-plan quality gates: predicate pushdown, column pruning,
+broadcast joins — the properties that keep the engine viable at 100 TB."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from wordscape_spark import datagen
+from wordscape_spark.operators import extract as X
+from wordscape_spark.operators import filters as FL
+from wordscape_spark.operators import urls as U
+
+
+@pytest.fixture(scope="module")
+def docs_path():
+    return datagen.ensure_interleaved(0.001)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_to_parquet(spark, docs_path):
+    df = spark.read.parquet(docs_path).filter(F.col("doc_id") == "doc-00000001")
+    plan = _formatted(df)
+    assert "PushedFilters" in plan
+    assert "IsNotNull(doc_id)" in plan or "EqualTo(doc_id" in plan
+
+
+def test_column_pruning(spark, docs_path):
+    df = spark.read.parquet(docs_path).select("doc_id")
+    plan = _formatted(df)
+    # ReadSchema must not include the heavy spans column
+    assert "spans" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_anti_join_broadcasts_small_history(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = U.with_url_hash(
+        docs.withColumn("url", F.expr("CAST(doc_id AS STRING)"))
+    )
+    history = docs.filter("doc_id % 7 = 0").select("url_hash")
+    joined = U.anti_join_history(docs, F.broadcast(history))
+    assert "BroadcastHashJoin" in _plan(joined) or "BroadcastNestedLoop" in _plan(joined)
+
+
+def test_whitelist_thresholds_broadcast(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = docs.withColumn(
+        "pseudo_perplexity", F.expr(FL.pseudo_perplexity_expr("text", "spark"))
+    ).withColumn("quality", F.col("n_chars").cast("double"))
+    out = FL.doc_whitelist(docs)
+    assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_extract_gates_are_native(spark, docs_path):
+    """The size gates must appear as Catalyst Filter nodes (pushable,
+    codegen'd), not be buried in the Python UDF."""
+    docs = spark.read.parquet(docs_path)
+    plan = _plan(X.extract(docs))
+    assert "size(spans" in plan  # native size() filters
+    assert "FlatMapInPandas" in plan or "MapInPandas" in plan
+
+
+def test_whole_stage_codegen_for_native_ops(spark):
+    from wordscape_spark.operators import text as T
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(T.with_langid(T.with_metrics(docs)))
+    assert "*(" in plan  # WholeStageCodegen stage marker
+    assert "BatchEvalPython" not in plan  # zero row-at-a-time python

@@ -24,10 +24,13 @@ class ExtractConfig:
     top_k_languages: int = 5
 
     # ---- scale plumbing (ours) ----
-    # documents with more spans than this take the salted (chunked) path
-    salt_threshold: int = 4_000
+    # documents with more spans than this take the salted (chunked) path.
+    # 50k spans ≈ several seconds of single-task classification — the point
+    # where one doc would visibly stall a task; smaller skew is cheaper to
+    # classify in place than to chunk/merge (measured).
+    salt_threshold: int = 50_000
     # target spans per salted chunk
-    salt_chunk_spans: int = 1_000
+    salt_chunk_spans: int = 8_000
 
 
 DEFAULT_CONFIG = ExtractConfig()

@@ -341,8 +341,9 @@ def ensure_interleaved(sf: float, base_dir: os.PathLike | str = BASE_DIR) -> str
     fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".parquet.tmp")
     os.close(fd)
     try:
-        # row-group sizing: keep groups modest so Spark splits scans well
-        pq.write_table(table, tmp, row_group_size=2048)
+        # row-group sizing: small groups so Spark can split the scan across
+        # many tasks even for a single local file
+        pq.write_table(table, tmp, row_group_size=256)
         os.replace(tmp, out)
     finally:
         if os.path.exists(tmp):

@@ -61,12 +61,22 @@ def shingles_expr(col: str, dialect: str, n: int = SHINGLE_N) -> str:
     )
 
 
-def minhash_exprs(dialect: str, k: int = MINHASH_K) -> list[str]:
-    """k minhash values over a `sh` (shingles array) column."""
+def minhash_exprs(
+    dialect: str, k: int = MINHASH_K, fast: bool = False
+) -> list[str]:
+    """k minhash values over a `sh` (shingles array) column.
+
+    ``fast=True`` (engine default at scale) uses xxhash64 — one 64-bit hash
+    per (i, shingle), no string md5/hex math (~10× cheaper).  The md5 variant
+    exists because the DuckDB oracle can reproduce it bit-for-bit.
+    """
     out = []
     for i in range(k):
         if dialect == "spark":
-            h = _hash64_spark(f"concat('{i}:', s)")
+            if fast:
+                h = f"xxhash64({i}, s)"
+            else:
+                h = _hash64_spark(f"concat('{i}:', s)")
             out.append(
                 f"CASE WHEN size(sh) = 0 THEN {2**62} "
                 f"ELSE array_min(transform(sh, s -> {h})) END"
@@ -89,10 +99,12 @@ def band_key_expr(band: int, dialect: str, rows: int = MINHASH_K // LSH_BANDS) -
     return f"md5({joined})"
 
 
-def with_minhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_minhash(
+    df: DataFrame, text_col: str = "text", fast: bool = False
+) -> DataFrame:
     """doc_id + shingles + minhash signature + LSH band keys."""
     df = df.withColumn("sh", F.expr(shingles_expr(text_col, "spark")))
-    for i, e in enumerate(minhash_exprs("spark")):
+    for i, e in enumerate(minhash_exprs("spark", fast=fast)):
         df = df.withColumn(f"mh{i}", F.expr(e))
     for b in range(LSH_BANDS):
         df = df.withColumn(f"band{b}", F.expr(band_key_expr(b, "spark")))
@@ -104,16 +116,26 @@ def minhash_duplicate_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    fast: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidate generation + exact-Jaccard verify.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+    The signature stage is persisted: it feeds both the band join and the
+    verification join, and Catalyst's project-collapse would otherwise
+    recompute the (expensive) signature expressions per consumer.
     """
+    from wordscape_spark.operators.extract import ensure_parallelism
+
     sigs = with_minhash(
-        df.select(F.col(id_col).cast("string").alias("doc_id"), text_col)
+        ensure_parallelism(
+            df.select(F.col(id_col).cast("string").alias("doc_id"), text_col)
+        ),
+        fast=fast,
     ).select(
         "doc_id", "sh", *[f"band{b}" for b in range(LSH_BANDS)]
     )
+    sigs = sigs.persist()
 
     bands = sigs.select(
         "doc_id",

@@ -397,6 +397,18 @@ def _make_merge_partials_fn(cfg: ExtractConfig):
 # ---------------------------------------------------------------------------
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the scan is under-partitioned.
+
+    Small local files scan as 1-5 partitions, serializing the Python
+    classification stage; at cluster scale inputs already carry ≥ cores
+    partitions and this is a no-op (the condition never fires)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def extract(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
     """Classify every document; returns the EXTRACTED_SCHEMA DataFrame.
 
@@ -435,18 +447,21 @@ def extract(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
     small = eligible.filter(n_spans <= F.lit(cfg.salt_threshold))
     big = eligible.filter(n_spans > F.lit(cfg.salt_threshold))
 
-    small_out = small.select("doc_id", "spans").mapInPandas(
+    small_out = ensure_parallelism(small.select("doc_id", "spans")).mapInPandas(
         _make_classify_fn(cfg), schema=EXTRACTED_SCHEMA
     )
 
     # salted path: chunk → merge font state → broadcast join → classify →
     # merge partials.  The groupBy keys are mega-doc ids only (few), so the
-    # shuffles here touch a tiny fraction of the data.
+    # shuffles here touch a tiny fraction of the data.  The chunk stage is
+    # persisted: it feeds both the font-state merge and the classify join,
+    # and would otherwise be recomputed per consumer.
     chunks = (
-        big.select("doc_id", "spans")
+        ensure_parallelism(big.select("doc_id", "spans"))
         .mapInPandas(_make_chunk_fn(cfg), schema=_CHUNK_SCHEMA)
         # spread one doc's chunks across the cluster — this IS the salt
         .repartition("doc_id", "chunk_idx")
+        .persist()
     )
     font_maps = (
         chunks.select("doc_id", "chunk_idx", "font_state")

@@ -37,8 +37,13 @@ def build_session(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"
         )
         # parquet scan sizing: smaller splits → better parallelism on the
-        # nested spans column
-        .config("spark.sql.files.maxPartitionBytes", "64m")
+        # nested spans column (zstd decompresses ~5×, and each doc row fans
+        # out into heavy Python classification work)
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.minPartitionNum", "64")
+        # default 4m open-cost floors split size at 4m, capping small-file
+        # scan parallelism; docs rows are compute-heavy per byte
+        .config("spark.sql.files.openCostInBytes", "524288")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -1,0 +1,84 @@
+"""Streaming extraction: the same classifier over a file-source stream.
+
+The reference is a batch pipeline (tar shards in, jsonl out); its incremental
+behavior is resume-from-recovery-lists.  The Spark-native incremental story
+is Structured Streaming: new parquet files landing in a directory are
+micro-batched through the *identical* classification operator
+(`extract` works unchanged on streaming DataFrames because its lazy DAG is
+mapInPandas + filters), with exactly-once sink semantics via the stream
+checkpoint — the streaming twin of plans/checkpoint.py.
+
+``availableNow`` triggers give batch-equivalent runs (tested equal to the
+batch path); continuous ingestion just drops the trigger.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from wordscape_spark.config import DEFAULT_CONFIG, ExtractConfig
+from wordscape_spark.operators import extract as X
+
+
+def read_doc_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(X.INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream documents → classified spans, exactly-once into parquet.
+
+    Note: the streaming path uses the single-pass classifier for every doc
+    (no salted path — a streaming micro-batch is already row-bounded)."""
+    docs = read_doc_stream(spark, input_dir)
+    extracted = docs.select("doc_id", "spans").mapInPandas(
+        X._make_classify_fn(cfg), schema=X.EXTRACTED_SCHEMA
+    )
+    writer = (
+        extracted.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_quality_metrics(
+    spark: SparkSession,
+    input_dir: str,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+):
+    """Windowed streaming metrics (the reference monitor's sliding pages/s,
+    annotate_run.py:65-156, as a watermarked windowed aggregation).
+
+    Returns a streaming DataFrame: per 10s processing-time window, docs
+    processed, ok-rate, mean quality.  Start it with foreachBatch/memory sink.
+    """
+    docs = read_doc_stream(spark, input_dir)
+    extracted = docs.select("doc_id", "spans").mapInPandas(
+        X._make_classify_fn(cfg), schema=X.EXTRACTED_SCHEMA
+    )
+    stamped = extracted.withColumn("ts", F.current_timestamp())
+    return (
+        stamped.withWatermark("ts", "30 seconds")
+        .groupBy(F.window("ts", "10 seconds"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.avg(F.col("ok").cast("double")).alias("ok_rate"),
+            F.avg("quality").alias("mean_quality"),
+        )
+    )
