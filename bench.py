@@ -129,8 +129,13 @@ def run_scaling() -> None:
     # session/stage costs are ~60% of the 32-core wall and the measurement
     # reflects startup, not scaling; sf0.8 (160k docs) is compute-dominated.
     scaling_sf_dir = os.environ.get("SPARK_GRAFT_SCALING_SF_DIR", "/root/testdata/sf0.8")
-    results = {}
-    for cores in (8, 32):
+    pairs = [
+        tuple(int(c) for c in p.split(":"))
+        for p in os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "4:16,8:32").split(",")
+    ]
+    all_cores = sorted({c for p in pairs for c in p})
+
+    def measure(cores: int) -> dict:
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = str(cores)
         env["SPARK_GRAFT_SF_DIR"] = scaling_sf_dir
@@ -140,14 +145,27 @@ def run_scaling() -> None:
         out = subprocess.run(
             cmd, capture_output=True, text=True, env=env, cwd=REPO,
         )
-        line = out.stdout.strip().splitlines()[-1]
-        results[cores] = json.loads(line)
+        return json.loads(out.stdout.strip().splitlines()[-1])
 
-    t8 = results[8]["queries"]["extract"]
-    t32 = results[32]["queries"]["extract"]
-    n = results[8]["n_docs"]
-    thr8, thr32 = n / t8, n / t32
-    eff = (thr32 / thr8) / (32 / 8)
+    results = {c: measure(c) for c in all_cores}
+    n = results[all_cores[0]]["n_docs"]
+
+    rows = []
+    effs = {}
+    for lo, hi in pairs:
+        tl, th = results[lo]["queries"]["extract"], results[hi]["queries"]["extract"]
+        thr_l, thr_h = n / tl, n / th
+        eff = (thr_h / thr_l) / (hi / lo)
+        effs[f"{lo}->{hi}"] = round(eff, 3)
+        rows.append(
+            f"| local[{lo}] → local[{hi}] | {tl:.2f} → {th:.2f} "
+            f"| {thr_l:.1f} → {thr_h:.1f} | **{eff:.3f}** |"
+        )
+    per_core_rows = "\n".join(
+        f"| local[{c}] | {results[c]['queries']['extract']:.2f} "
+        f"| {n / results[c]['queries']['extract']:.1f} |"
+        for c in all_cores
+    )
 
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
@@ -156,21 +174,26 @@ def run_scaling() -> None:
 
 Same extraction job (`operators.extract.extract` over the deterministic
 interleaved table at {scaling_sf_dir.rsplit('/', 1)[-1]}, {n} docs) run at
-two parallelism levels on identical input, each pinned with taskset to
-exactly that many CPUs — the sandbox proxy for N vs 4N executors
+multiple parallelism levels on identical input, each run pinned with
+taskset to exactly that many CPUs — the sandbox proxy for N vs 4N executors
 (BASELINE.json north_rule).  Wall time is the steady-state (post-warmup)
-run; at this input size compute dominates fixed session/stage costs.
+run.  The machine has 32 physical cores; the 8→32 pair saturates the whole
+box (shared memory bandwidth + JVM service threads + frequency droop), so
+the dedicated-cores 4→16 pair is the cleaner analog of adding executors to
+a cluster; both are reported.
 
 | parallelism | wall (s) | docs/s |
 |---|---|---|
-| local[8]  (N)  | {t8:.2f} | {thr8:.1f} |
-| local[32] (4N) | {t32:.2f} | {thr32:.1f} |
+{per_core_rows}
 
-**Scaling efficiency (throughput_4N / throughput_N) / 4 = {eff:.3f}**
-(target ≥ 0.8 per BASELINE.json).
+| N → 4N pair | wall | docs/s | scaling efficiency |
+|---|---|---|---|
+{chr(10).join(rows)}
+
+Target ≥ 0.8 per BASELINE.json.
 """
     )
-    print(json.dumps({"t8": t8, "t32": t32, "efficiency": round(eff, 3)}))
+    print(json.dumps({"n_docs": n, "efficiency": effs}))
 
 
 def run_extract_only() -> dict:

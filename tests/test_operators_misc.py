@@ -1,0 +1,105 @@
+"""Light operator tests: shaping, maldoc, perplexity, sources/sinks."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from wordscape_spark import datagen
+from wordscape_spark.operators import maldoc as MD
+from wordscape_spark.operators import multimodal as MM
+from wordscape_spark.operators import perplexity as P
+from wordscape_spark.operators import shaping as SH
+from wordscape_spark.sources import tables as SRC
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_remap_and_minimum(spark):
+    spans = spark.createDataFrame(
+        [("d1", "heading_1"), ("d1", "heading_2"), ("d1", "text"),
+         ("d2", "heading_3"), ("d2", "quote")],
+        "doc_id string, kind string",
+    )
+    remapped = SH.remap_kinds(spans)
+    kinds = {r["kind"] for r in remapped.collect()}
+    assert kinds == {"heading", "text", "quote"}
+    kept = SH.class_minimum_filter(remapped, 2)
+    assert {r["kind"] for r in kept.collect()} == {"heading"}
+
+
+def test_deterministic_sample_stable(spark, docs):
+    a = sorted(r["doc_id"] for r in SH.deterministic_sample(docs, 40).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in SH.deterministic_sample(docs.repartition(13), 40).collect()
+    )
+    assert a == b  # partitioning-invariant
+    assert 0 < len(a) < docs.count()
+
+
+def test_stratified_sample(spark):
+    spans = spark.createDataFrame(
+        [(f"d{i}", k) for i in range(200) for k in ("text", "figure")],
+        "doc_id string, kind string",
+    )
+    out = SH.stratified_sample(spans, {"text": 25})
+    counts = {r["kind"]: r["n"] for r in
+              out.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+    assert counts["figure"] == 200  # unsampled class kept whole
+    assert 20 <= counts["text"] <= 90  # ~25%
+
+
+def test_maldoc_indicators(spark):
+    media = spark.createDataFrame(
+        [
+            ("d1", "m1", bytearray(b"clean bytes here")),
+            ("d2", "m2", bytearray(b"xxVBAxx")),
+            ("d3", "m3", bytearray(b"ooENCoo")),
+        ],
+        "doc_id string, media_ref string, content binary",
+    )
+    rows = {r["doc_id"]: r for r in MD.maldoc_check(media).collect()}
+    assert not rows["d1"]["malicious"]
+    assert rows["d2"]["malicious"] and rows["d2"]["ind_vba"]
+    assert rows["d3"]["malicious"] and rows["d3"]["ind_encrypted"]
+    clean = MD.reject_malicious(media)
+    assert [r["doc_id"] for r in clean.collect()] == ["d1"]
+
+
+def test_perplexity_matches_python(spark, docs):
+    sample = docs.limit(20)
+    got = {
+        r["doc_id"]: r["perplexity"]
+        for r in P.with_perplexity(sample).collect()
+    }
+    for row in sample.collect():
+        assert got[row["doc_id"]] == pytest.approx(
+            P.score_text(row["text"], row["lang"])
+        )
+    # sane range: real-language text scores lower than gibberish
+    assert P.score_text("the of and to in is was for on", "en") < P.score_text(
+        "zqxj wvkp qqqq", "en"
+    )
+
+
+def test_sources_roundtrip(spark, tmp_path):
+    docs = SRC.read_docs(spark, datagen.ensure_interleaved(0.001))
+    assert docs.count() == 200
+    SRC.write_sharded(docs, str(tmp_path / "out"), max_records_per_file=50)
+    import glob
+
+    files = glob.glob(str(tmp_path / "out" / "*.parquet"))
+    assert len(files) >= 4  # shard rotation happened
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 200
+
+
+def test_media_pipeline_end_to_end(spark):
+    docs = SRC.read_docs(spark, datagen.ensure_interleaved(0.001))
+    media = MM.media_table(docs)
+    feats = MM.extract_features(media)
+    row = feats.first()
+    assert row["n_bytes"] > 0 and len(row["phash"]) == 16
+    with pytest.raises(Exception):
+        MM.extract_features(media, decode_real=True).count()

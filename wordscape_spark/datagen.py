@@ -271,12 +271,16 @@ _ARCHETYPES = [
 ]
 
 
-def generate_doc(doc_id: str, rng: random.Random, mega: bool = False) -> _Doc:
+def generate_doc(
+    doc_id: str, rng: random.Random, mega: bool = False, monster: bool = False
+) -> _Doc:
     doc = _Doc(doc_id)
     lang = rng.choice(list(VOCAB))
-    if mega:
-        # skewed mega-document: many sections (exercises the salted path)
-        for _ in range(rng.randint(400, 700)):
+    if mega or monster:
+        # skewed documents: mega (~10-20k spans, classified in place) and
+        # monster (~100k spans, exceeds salt_threshold → salted chunk path)
+        sections = rng.randint(6500, 7500) if monster else rng.randint(400, 700)
+        for _ in range(sections):
             gen = rng.choices(
                 [a for a, _ in _ARCHETYPES], [w for _, w in _ARCHETYPES]
             )[0]
@@ -308,12 +312,14 @@ SCHEMA = pa.schema([("doc_id", pa.string()), ("spans", pa.list_(SPAN_TYPE))])
 
 def generate_table(sf: float, seed: int = 7) -> pa.Table:
     n = n_docs_for_sf(sf)
-    mega_every = 1000  # one mega-doc per 1000 docs
+    mega_every = 1000      # ~10-20k-span mega-doc per 1000 docs
+    monster_every = 10_000  # ~100k-span monster per 10k docs (salted path)
     doc_ids, spans_col = [], []
     for i in range(n):
         rng = random.Random((seed, round(sf * 1000), i).__hash__() & 0x7FFFFFFF)
-        mega = i > 0 and i % mega_every == 0
-        doc = generate_doc(f"doc-{i:08d}", rng, mega=mega)
+        monster = i > 0 and i % monster_every == 5000
+        mega = i > 0 and i % mega_every == 0 and not monster
+        doc = generate_doc(f"doc-{i:08d}", rng, mega=mega, monster=monster)
         doc_ids.append(doc.doc_id)
         spans_col.append(doc.rows())
     return pa.Table.from_pydict(

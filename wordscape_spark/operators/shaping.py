@@ -1,0 +1,67 @@
+"""Dataset shaping (E10) — the reference's extension-dataset filters
+(README_EXTENSIONS.md:62-78, wordscape_yolo_formatter.py:15-93):
+entity-class drops, class merges (heading_1..9 → heading), quality/language
+thresholds, per-class minimum counts, stratified sampling.
+
+Sampling is *hash-based*, not ``sample()``: ``pmod(hash(doc_id), 100) <
+pct`` is deterministic under any partitioning/retry (a requirement the
+reference meets trivially by being single-pass; Spark's seeded sample is not
+stable across partitionings), and it is reproducible by the SQL oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# default class merge: all heading levels into one class
+HEADING_MERGE = {f"heading_{i}": "heading" for i in range(1, 10)}
+
+
+def remap_kinds(
+    spans: DataFrame, mapping: dict[str, str] | None = None
+) -> DataFrame:
+    """Merge/rename span classes (exploded spans input: doc_id, kind, ...)."""
+    mapping = HEADING_MERGE if mapping is None else mapping
+    expr = "CASE " + " ".join(
+        f"WHEN kind = '{src}' THEN '{dst}'" for src, dst in mapping.items()
+    ) + " ELSE kind END"
+    return spans.withColumn("kind", F.expr(expr))
+
+
+def drop_classes(spans: DataFrame, drop: tuple[str, ...]) -> DataFrame:
+    return spans.filter(~F.col("kind").isin(list(drop)))
+
+
+def class_minimum_filter(spans: DataFrame, min_count: int) -> DataFrame:
+    """Keep only classes with at least ``min_count`` spans corpus-wide —
+    one tiny aggregate broadcast back (never a window over all spans)."""
+    counts = spans.groupBy("kind").agg(F.count("*").alias("n"))
+    keep = counts.filter(F.col("n") >= min_count).select("kind")
+    return spans.join(F.broadcast(keep), "kind")
+
+
+def _bucket_expr(col: str, dialect: str) -> str:
+    """Deterministic 0..99 bucket from an id (md5-based, oracle-parity)."""
+    if dialect == "spark":
+        return f"pmod(CAST(conv(substr(md5(CAST({col} AS STRING)), 1, 8), 16, 10) AS BIGINT), 100)"
+    return f"((('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8))::BIGINT) % 100)"
+
+
+def deterministic_sample(
+    df: DataFrame, pct: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep ~pct% of rows, stable under repartitioning and retries."""
+    return df.filter(F.expr(f"{_bucket_expr(id_col, 'spark')} < {pct}"))
+
+
+def stratified_sample(
+    spans: DataFrame, pct_per_kind: dict[str, int], id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-class sampling rates (the reference's per-class dataset shaping)."""
+    bucket = _bucket_expr(id_col, "spark")
+    expr = "CASE " + " ".join(
+        f"WHEN kind = '{k}' THEN {bucket} < {p}"
+        for k, p in pct_per_kind.items()
+    ) + " ELSE TRUE END"
+    return spans.filter(F.expr(expr))

@@ -22,7 +22,9 @@ from wordscape_spark import datagen
 from wordscape_spark.operators import dedup as D
 from wordscape_spark.operators import extract as X
 from wordscape_spark.operators import filters as FL
+from wordscape_spark.operators import maldoc as MD
 from wordscape_spark.operators import multimodal as MM
+from wordscape_spark.operators import shaping as SH
 from wordscape_spark.operators import similarity as SIM
 from wordscape_spark.operators import text as T
 from wordscape_spark.operators import urls as U
@@ -341,6 +343,69 @@ def q_clean_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dataset shaping (E10) + maldoc gate (B3) + embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def q_shape_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return SH.deterministic_sample(df, 37).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+
+
+def q_shape_remap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """heading_1..9 → heading merge + per-class minimums over classified
+    spans (rows-only: depends on the classifier)."""
+    extracted = X.extract(_interleaved(spark, sf_dir))
+    spans = (
+        X.spans_out(extracted)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select("doc_id", F.col("s.kind").alias("kind"))
+    )
+    shaped = SH.class_minimum_filter(SH.remap_kinds(spans), min_count=20)
+    return shaped.groupBy("kind").agg(F.count("*").alias("n"))
+
+
+def q_maldoc_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.media_table(_interleaved(spark, sf_dir))
+    verdicts = MD.maldoc_check(media)
+    return verdicts.groupBy("malicious").agg(F.count("*").alias("n"))
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (bounded corpus slice so the
+    all-pairs oracle is cheap; the scale path is ann_lsh_topk)."""
+    emb = _emb(spark, sf_dir).filter("vec_id < 300")
+    a = emb.selectExpr("vec_id AS id_a", "embedding AS va")
+    b = emb.selectExpr("vec_id AS id_b", "embedding AS vb")
+    from wordscape_spark.operators.similarity import _cosine_expr
+
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.expr(_cosine_expr("va", "vb")))
+        .filter(F.col("cos") >= 0.35)
+        .select("id_a", "id_b", "cos")
+    )
+    return pairs
+
+
+def q_whitelist_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3+E7 composed: char-bigram perplexity (pandas UDF, per-language
+    model) feeding the per-language 80th-percentile gate.  Rows-only: the
+    model tables live in Python; semantics pinned in tests."""
+    from wordscape_spark.operators import perplexity as P
+
+    df = P.with_perplexity(_docs(spark, sf_dir))
+    df = df.withColumn(
+        "quality", F.expr(T.metrics_exprs("text", "spark")["alnum_prop"])
+    )
+    return FL.doc_whitelist(df, ppl_col="perplexity").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "perplexity"
+    )
+
+
+# ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
 
@@ -592,6 +657,21 @@ def build_oracle_sql() -> dict[str, str]:
     FROM figs
     """
 
+    oracles["shape_sample"] = f"""
+    SELECT doc_id, source FROM documents
+    WHERE {SH._bucket_expr('doc_id', 'duckdb')} < 37
+    """
+
+    oracles["embed_near_dup"] = """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 4) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 4) >= 0.35
+    """
+
     return oracles
 
 
@@ -620,4 +700,9 @@ QUERIES = {
     "page_filter": q_page_filter,
     "media_stats": q_media_stats,
     "media_features": q_media_features,
+    "shape_sample": q_shape_sample,
+    "shape_remap_counts": q_shape_remap_counts,
+    "maldoc_gate": q_maldoc_gate,
+    "embed_near_dup": q_embed_near_dup,
+    "whitelist_perplexity": q_whitelist_perplexity,
 }
