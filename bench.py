@@ -53,6 +53,9 @@ def run_bench() -> dict:
     docs = spark.read.parquet(interleaved)
     n_docs = docs.count()
 
+    # warmup: spawn python workers / JIT codegen before any timed query
+    _noop_write(X.extract(docs.limit(512)))
+
     def timed(name: str, fn):
         t0 = time.monotonic()
         fn()
@@ -212,9 +215,11 @@ def run_extract_only() -> dict:
     n_docs = docs.count()
     extracted = X.extract(docs)
     _noop_write(extracted)  # warmup: python workers spawn + code paths JIT
-    t0 = time.monotonic()
-    _noop_write(extracted)
-    secs = round(time.monotonic() - t0, 3)
+    secs = None
+    for _ in range(2):  # best-of-2 steady-state runs (host-noise robustness)
+        t0 = time.monotonic()
+        _noop_write(extracted)
+        secs = min(secs or 1e9, round(time.monotonic() - t0, 3))
     spark.stop()
     return {
         "metric": "extract",

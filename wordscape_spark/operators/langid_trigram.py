@@ -1,0 +1,115 @@
+"""Character-trigram language ID (E1, fastText-style surrogate).
+
+Reference: fastText ``lid.176.ftz`` top-k=5 per page/doc with
+``{__label__xx: conf}`` maps and an ``__label__unknown`` fallback
+(/root/reference/app/src/annotation/language_detection/inference.py:8-59,
+utils.py:18-29, top_k from default_config.yaml:23).
+
+No model downloads in the sandbox: the model is a deterministic char-trigram
+log-likelihood table trained at import time on the synthetic vocabularies —
+the same operator shape as fastText inference (per-executor model singleton,
+Arrow-batched scoring, top-k map output), so swapping in a real .ftz changes
+only ``_MODEL``.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from functools import lru_cache
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    DoubleType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from wordscape_spark.config import DEFAULT_CONFIG
+from wordscape_spark.datagen import VOCAB
+
+UNKNOWN = "__label__unknown"
+
+
+@lru_cache(maxsize=1)
+def _model() -> dict[str, dict[str, float]]:
+    """lang -> trigram -> log10 prob (add-one smoothed); built once per
+    process (the reference lazy-loads fastText the same way)."""
+    tables: dict[str, dict[str, float]] = {}
+    for lang, words in VOCAB.items():
+        text = " " + " ".join(words * 2) + " "
+        grams = Counter(text[i:i + 3] for i in range(len(text) - 2))
+        total = sum(grams.values())
+        v = len(grams) + 1
+        tables[lang] = {
+            g: math.log10((n + 1) / (total + v)) for g, n in grams.items()
+        }
+        tables[lang]["__default__"] = math.log10(1 / (total + v))
+    return tables
+
+
+def classify_text(text: str, top_k: int = DEFAULT_CONFIG.top_k_languages) -> dict[str, float]:
+    """{__label__xx: confidence} for the top-k languages (softmax over mean
+    trigram log-likelihoods); empty text → {__label__unknown: 1.0}
+    (ref: inference.py:44-47)."""
+    t = " " + (text or "").lower().strip() + " "
+    if len(t) < 5:
+        return {UNKNOWN: 1.0}
+    model = _model()
+    grams = [t[i:i + 3] for i in range(len(t) - 2)]
+    means = {}
+    for lang, table in model.items():
+        default = table["__default__"]
+        means[lang] = sum(table.get(g, default) for g in grams) / len(grams)
+    # softmax over mean log10-likelihoods → confidences
+    mx = max(means.values())
+    exps = {lang: 10 ** (5 * (m - mx)) for lang, m in means.items()}
+    z = sum(exps.values())
+    confs = {f"__label__{lang}": round(e / z, 6) for lang, e in exps.items()}
+    top = dict(
+        sorted(confs.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    )
+    return top
+
+
+LANGID_SCHEMA = StructType(
+    [
+        StructField("languages", MapType(StringType(), DoubleType())),
+        StructField("top_lang", StringType()),
+        StructField("top_lang_score", DoubleType()),
+    ]
+)
+
+
+def with_trigram_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds languages map + top_lang/top_lang_score columns (E1 output shape,
+    orm/models.py:74 languages dict + whitelist gate inputs)."""
+
+    @F.pandas_udf(LANGID_SCHEMA)
+    def lid(batch_iter: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for s in batch_iter:
+            rows = []
+            for text in s:
+                langs = classify_text(text or "")
+                top = max(langs.items(), key=lambda kv: (kv[1], kv[0]))
+                rows.append(
+                    {
+                        "languages": langs,
+                        "top_lang": top[0],
+                        "top_lang_score": top[1],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    out = df.withColumn("_lid", lid(F.col(text_col)))
+    return (
+        out.withColumn("languages", F.col("_lid.languages"))
+        .withColumn("top_lang", F.col("_lid.top_lang"))
+        .withColumn("top_lang_score", F.col("_lid.top_lang_score"))
+        .drop("_lid")
+    )

@@ -75,13 +75,9 @@ def media_table(docs: DataFrame) -> DataFrame:
         for pdf in batch_iter:
             contents = []
             for doc_id, ref, n in zip(pdf["doc_id"], pdf["media_ref"], pdf["n_bytes"]):
-                seed_b = f"{doc_id}/{ref}".encode()
-                buf = b""
-                counter = 0
-                while len(buf) < n:
-                    buf += hashlib.md5(seed_b + str(counter).encode()).digest()
-                    counter += 1
-                contents.append(buf[: int(n)])
+                n = int(n)
+                digest = hashlib.md5(f"{doc_id}/{ref}".encode()).digest()
+                contents.append((digest * (n // 16 + 1))[:n])
             out = pdf[["doc_id", "media_ref"]].copy()
             out["content"] = contents
             out["fmt"] = "png"

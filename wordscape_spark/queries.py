@@ -19,6 +19,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from wordscape_spark import datagen
+from wordscape_spark.config import DEFAULT_CONFIG as _CFG
 from wordscape_spark.operators import dedup as D
 from wordscape_spark.operators import extract as X
 from wordscape_spark.operators import filters as FL
@@ -390,6 +391,19 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+def q_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shape trigram language ID (per-executor model, top-k map).
+    Rows-only: the model lives in Python; pinned vs pure python in tests."""
+    from wordscape_spark.operators import langid_trigram as L
+
+    out = L.with_trigram_langid(_docs(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "top_lang",
+        "top_lang_score",
+    )
+
+
 def q_whitelist_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3+E7 composed: char-bigram perplexity (pandas UDF, per-language
     model) feeding the per-language 80th-percentile gate.  Rows-only: the
@@ -473,7 +487,8 @@ def build_oracle_sql() -> dict[str, str]:
     gated AS (
       SELECT a.doc_id AS doc_id, coalesce(d.text, '') AS text
       FROM alldocs a LEFT JOIN doctext d USING (doc_id)
-      WHERE length(coalesce(d.text, '')) >= 200 AND a.n_spans <= 200000
+      WHERE length(coalesce(d.text, '')) >= {_CFG.min_text_chars}
+        AND a.n_spans <= {_CFG.max_doc_spans}
     )
     """
 
@@ -634,8 +649,8 @@ def build_oracle_sql() -> dict[str, str]:
 
     oracles["extract_reject_counts"] = (
         serial_cte.replace(
-            "WHERE length(coalesce(d.text, '')) >= 200",
-            "WHERE length(coalesce(d.text, '')) < 200",
+            f"WHERE length(coalesce(d.text, '')) >= {_CFG.min_text_chars}",
+            f"WHERE length(coalesce(d.text, '')) < {_CFG.min_text_chars}",
         )
         + "SELECT 'min_text' AS reject_reason, count(*) AS n FROM gated"
     )
@@ -705,4 +720,5 @@ QUERIES = {
     "maldoc_gate": q_maldoc_gate,
     "embed_near_dup": q_embed_near_dup,
     "whitelist_perplexity": q_whitelist_perplexity,
+    "langid_trigram": q_langid_trigram,
 }

@@ -87,6 +87,33 @@ def parse_fields(kind: str) -> tuple[str, dict[str, str]]:
 
 
 def parse_run(kind: str, text: str) -> RunSignal:
+    # fast path: the canonical field order emitted by encode_run
+    parts = kind.split(";")
+    if (
+        len(parts) == 12
+        and parts[1].startswith("p=")
+        and parts[2].startswith("s=")
+        and parts[3].startswith("psz=")
+        and parts[6].startswith("sz=")
+    ):
+        try:
+            return RunSignal(
+                tag=parts[0],
+                par=int(parts[1][2:]),       # p=
+                style=parts[2][2:],          # s=
+                par_size=float(parts[3][4:]),  # psz=
+                par_bold=_tri(parts[4][3:]),   # pb=
+                par_italic=_tri(parts[5][3:]),  # pi=
+                size=float(parts[6][3:]),    # sz=
+                bold=_tri(parts[7][2:]),     # b=
+                italic=_tri(parts[8][2:]),   # i=
+                underline=parts[9][2:] == "1",
+                math=parts[10][2:] == "1",
+                numbered=parts[11][2:] == "1",
+                text=text,
+            )
+        except (ValueError, IndexError):
+            pass
     tag, f = parse_fields(kind)
     return RunSignal(
         tag=tag,
@@ -106,6 +133,23 @@ def parse_run(kind: str, text: str) -> RunSignal:
 
 
 def parse_cell(kind: str, text: str) -> CellSignal:
+    # fast path: canonical encode_cell field order
+    parts = kind.split(";")
+    if (
+        len(parts) == 5
+        and parts[1].startswith("t=")
+        and parts[2].startswith("r=")
+    ):
+        try:
+            return CellSignal(
+                table=int(parts[1][2:]),
+                row=int(parts[2][2:]),
+                col=int(parts[3][2:]),
+                header=parts[4][2:] == "1",
+                text=text,
+            )
+        except (ValueError, IndexError):
+            pass
     _, f = parse_fields(kind)
     return CellSignal(
         table=int(f.get("t", "0")),

@@ -210,6 +210,10 @@ NUMBERING_SYMBOLS = (
 NUMBERING_FOLLOWERS = (".", ":", ")")
 
 
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=4096)
 def map_builtin_style(style_lower: str) -> str | None:
     """Last-match prefix mapping of a lowercase builtin style name."""
     found = None
