@@ -119,6 +119,11 @@ def _spans_to_rows(spans: list[tuple]) -> list[dict]:
 
 
 def _result_row(doc_id: str, res: C.DocResult) -> dict:
+    # D10 metrics are computed here, inside the classification UDF: they
+    # parallelize with classification at zero extra Arrow traffic.  (A native
+    # column-expression variant was measured slower end-to-end — JVM string
+    # passes over multi-MB mega-doc texts straggle; see operators/text.py
+    # metrics_exprs for the SQL-side twin used by the oracle.)
     metrics = C.text_metrics(res.text if res.ok else "")
     return {
         "doc_id": doc_id,

@@ -82,45 +82,79 @@ def normalize(col: str = "text") -> Column:
 
 _PUNCT_CLASS = r"[!-/:-@\[-`{-~]"  # ascii string.punctuation as a class
 
+# explicit letter alphabet: ascii + Latin-1 letters, so counts agree with
+# Python str.isalpha() over the engine's text alphabet
+_LETTERS = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    + "".join(chr(c) for c in range(0xC0, 0xD7))   # À-Ö
+    + "".join(chr(c) for c in range(0xD8, 0xF7))   # Ø-ö
+    + "".join(chr(c) for c in range(0xF8, 0x100))  # ø-ÿ
+)
+_DIGITS = "0123456789"
+import string as _string
+
+_PUNCT_CHARS = _string.punctuation
+
 
 def metrics_exprs(col: str, dialect: str) -> dict[str, str]:
-    """D10 text metrics as SQL expressions (identical results per dialect)."""
-    g = ", 'g'" if dialect == "duckdb" else ""
+    """D10 text metrics as SQL expressions (identical results per dialect).
+
+    Counting uses ``translate`` (single char-map pass, no regex engine —
+    regexp_replace over multi-MB mega-doc texts measured ~30× slower); the
+    two derived ratios reference the count aliases (lateral column aliases,
+    supported by both engines), so each base count is computed exactly once.
+    """
+    def dlit(s: str) -> str:
+        if dialect == "spark":
+            s = s.replace("\\", "\\\\")
+        return _lit(s)
+
     length = "length"
-    nopunct = f"regexp_replace({col}, {_rx(_PUNCT_CLASS, dialect)}, ''{g})"
-    # strip ALL whitespace at the edges (python str.split semantics — sql
-    # trim() only strips spaces, not \t/\n)
-    strip_rx = _rx(r"^\s+|\s+$", dialect)
-    stripped = f"regexp_replace({nopunct}, {strip_rx}, ''{g})"
+    # words: delete punctuation (translate), split on whitespace, count
+    # non-empty tokens (≡ python str.split after punct deletion)
+    nopunct = f"translate({col}, {dlit(_PUNCT_CHARS)}, '')"
     if dialect == "spark":
-        words = f"size(split({stripped}, '\\\\s+'))"
-        words = f"(CASE WHEN length({stripped}) = 0 THEN 0 ELSE {words} END)"
+        words = (
+            f"size(filter(split({nopunct}, '\\\\s+'), t -> t != ''))"
+        )
     else:
         words = (
-            f"(CASE WHEN length({stripped}) = 0 THEN 0 ELSE "
-            f"len(regexp_split_to_array({stripped}, '\\s+')) END)"
+            f"len(list_filter(regexp_split_to_array({nopunct}, '\\s+'), "
+            f"t -> t != ''))"
         )
-    # letter classes include Latin-1 letters so the SQL twin agrees with
-    # Python str.isalpha() over the engine's text alphabet
-    letters = "A-Za-zÀ-ÖØ-öø-ÿ"
-    alph = f"{length}(regexp_replace({col}, '[^{letters}]', ''{g}))"
-    num = f"{length}(regexp_replace({col}, '[^0-9]', ''{g}))"
-    alnum = f"{length}(regexp_replace({col}, '[^{letters}0-9]', ''{g}))"
+    alph = f"({length}({col}) - {length}(translate({col}, {dlit(_LETTERS)}, '')))"
+    num = f"({length}({col}) - {length}(translate({col}, {dlit(_DIGITS)}, '')))"
     return {
         "num_words": f"CAST({words} AS BIGINT)",
         "num_chars": f"CAST({length}({col}) AS BIGINT)",
         "num_alph_chars": f"CAST({alph} AS BIGINT)",
         "num_numeric_chars": f"CAST({num} AS BIGINT)",
-        "num_alphnum_chars": f"CAST({alnum} AS BIGINT)",
+        "num_alphnum_chars": "CAST(num_alph_chars + num_numeric_chars AS BIGINT)",
         "alnum_prop": (
-            f"CAST(CASE WHEN {length}({col}) = 0 THEN 0.0 "
-            f"ELSE round({alnum} * 1.0 / {length}({col}), 6) END AS DOUBLE)"
+            "CAST(CASE WHEN num_chars = 0 THEN 0.0 "
+            "ELSE round(num_alphnum_chars * 1.0 / num_chars, 6) END AS DOUBLE)"
         ),
         "alph_to_num_ratio": (
-            f"CAST(CASE WHEN {num} = 0 THEN 0.0 "
-            f"ELSE round({alph} * 1.0 / {num}, 6) END AS DOUBLE)"
+            "CAST(CASE WHEN num_numeric_chars = 0 THEN 0.0 "
+            "ELSE round(num_alph_chars * 1.0 / num_numeric_chars, 6) END "
+            "AS DOUBLE)"
         ),
     }
+
+
+def alnum_prop_expr(col: str, dialect: str) -> str:
+    """Self-contained alnum_prop (for use outside the metrics column set)."""
+    def dlit(s: str) -> str:
+        if dialect == "spark":
+            s = s.replace("\\", "\\\\")
+        return _lit(s)
+
+    alph = f"(length({col}) - length(translate({col}, {dlit(_LETTERS)}, '')))"
+    num = f"(length({col}) - length(translate({col}, {dlit(_DIGITS)}, '')))"
+    return (
+        f"CAST(CASE WHEN length({col}) = 0 THEN 0.0 "
+        f"ELSE round(({alph} + {num}) * 1.0 / length({col}), 6) END AS DOUBLE)"
+    )
 
 
 def with_metrics(df: DataFrame, col: str = "text") -> DataFrame:

@@ -196,7 +196,7 @@ def q_doc_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pseudo_perplexity", F.expr(FL.pseudo_perplexity_expr("text", "spark"))
     ).withColumn(
         "quality",
-        F.expr(T.metrics_exprs("text", "spark")["alnum_prop"]),
+        F.expr(T.alnum_prop_expr("text", "spark")),
     )
     return FL.doc_whitelist(df).select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -412,7 +412,7 @@ def q_whitelist_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = P.with_perplexity(_docs(spark, sf_dir))
     df = df.withColumn(
-        "quality", F.expr(T.metrics_exprs("text", "spark")["alnum_prop"])
+        "quality", F.expr(T.alnum_prop_expr("text", "spark"))
     )
     return FL.doc_whitelist(df, ppl_col="perplexity").select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang", "perplexity"
@@ -602,7 +602,7 @@ def build_oracle_sql() -> dict[str, str]:
     oracles["doc_whitelist"] = f"""
     WITH scored AS (
       SELECT doc_id, lang,
-             {m['alnum_prop']} AS quality,
+             {T.alnum_prop_expr('text', 'duckdb')} AS quality,
              {ppl} AS pseudo_perplexity
       FROM documents
     ),
