@@ -200,9 +200,6 @@ def langid_exprs(col: str, dialect: str) -> dict[str, str]:
     # argmax with deterministic tie-break by language order
     best = "CASE "
     for lang in LANGS:
-        others = [
-            f"score_{o} <= score_{lang}" for o in LANGS if o != lang
-        ]
         # earlier languages win ties ⇒ strict for earlier, non-strict later
         conds = []
         for o in LANGS:

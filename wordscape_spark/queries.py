@@ -404,6 +404,31 @@ def q_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 analog: drop duplicate classified spans by deterministic span hash
+    (ref: postprocessing/postprocess.py:94-95 — sha1-of-repr identity).
+    Rows-only (depends on the classifier)."""
+    extracted = X.extract(_interleaved(spark, sf_dir))
+    spans = (
+        X.spans_out(extracted)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.kind").alias("kind"),
+            F.sha2(
+                F.concat_ws(
+                    "", "doc_id", "s.kind",
+                    F.coalesce("s.text", F.lit("")),
+                    F.coalesce("s.media_ref", F.lit("")),
+                ),
+                256,
+            ).alias("span_hash"),
+        )
+    )
+    deduped = spans.dropDuplicates(["span_hash"])
+    return deduped.groupBy("kind").agg(F.count("*").alias("n_unique"))
+
+
 def q_whitelist_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3+E7 composed: char-bigram perplexity (pandas UDF, per-language
     model) feeding the per-language 80th-percentile gate.  Rows-only: the
@@ -721,4 +746,5 @@ QUERIES = {
     "embed_near_dup": q_embed_near_dup,
     "whitelist_perplexity": q_whitelist_perplexity,
     "langid_trigram": q_langid_trigram,
+    "span_dedup": q_span_dedup,
 }
