@@ -1,0 +1,54 @@
+import pyspark.sql.functions as F
+
+from wordscape_spark.operators import dedup as D
+
+
+def test_connected_components(spark):
+    # two clusters: {a,b,c,d} chained, {x,y}; singleton z untouched
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "doc_a string, doc_b string",
+    )
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.duplicate_clusters(pairs).collect()
+    }
+    assert labels == {"a": "a", "b": "a", "c": "a", "d": "a",
+                      "x": "x", "y": "x"}
+
+
+def test_keep_representatives(spark):
+    docs = spark.createDataFrame(
+        [(d, f"text {d}") for d in "abcdxyz"], "doc_id string, text string"
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    clusters = D.duplicate_clusters(pairs)
+    kept = sorted(
+        r["doc_id"]
+        for r in D.keep_cluster_representatives(docs, clusters).collect()
+    )
+    assert kept == ["a", "d", "x", "z"]
+
+
+def test_end_to_end_minhash_clustering(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.selectExpr("CAST(doc_id AS STRING) doc_id", "text").unionByName(
+        docs.filter("doc_id % 20 = 0").selectExpr(
+            "CAST(doc_id + 1000 AS STRING) doc_id", "text"
+        )
+    )
+    pairs = D.minhash_duplicate_pairs(corpus, threshold=0.8, fast=True)
+    clusters = D.duplicate_clusters(pairs)
+    kept = D.keep_cluster_representatives(corpus, clusters)
+
+    # exactly the non-representative cluster members are removed
+    n_losers = clusters.filter("doc_id != cluster_id").count()
+    assert kept.count() == corpus.count() - n_losers
+
+    # an exact planted copy is never kept together with its original
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    for r in docs.filter("doc_id % 20 = 0").select("doc_id").collect():
+        orig, copy = str(r["doc_id"]), str(r["doc_id"] + 1000)
+        assert not (orig in kept_ids and copy in kept_ids)

@@ -231,6 +231,75 @@ def simhash_expr_duck(text_col: str) -> str:
     )
 
 
+# ------------------------------------------------- duplicate clustering
+
+
+def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs → (doc_id, cluster_id).
+
+    cluster_id = the smallest doc_id reachable through duplicate edges
+    (min-label propagation, a.k.a. hash-to-min).  Each iteration is one
+    self-join + aggregate; converges in O(log(diameter)) rounds — duplicate
+    clusters are tiny in practice, so 2-3 rounds.  The loop runs on the
+    driver but all data stays distributed (no collect); iteration count is
+    checked with a single count() per round on an aggregated (small) frame.
+    """
+    edges = (
+        pairs.selectExpr("doc_a AS a", "doc_b AS b")
+        .unionByName(pairs.selectExpr("doc_b AS a", "doc_a AS b"))
+        .distinct()
+        .persist()
+    )
+    # initial label: own id
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["doc_id"])
+            .groupBy(edges["a"].alias("doc_id"))
+            .agg(F.min("cluster_id").alias("neighbor_cluster"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "cluster_id",
+                    F.coalesce("neighbor_cluster", "cluster_id"),
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter("n.cluster_id != o.cluster_id")
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def keep_cluster_representatives(
+    df: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop every near-duplicate except the cluster representative (the
+    smallest id) — the distributed drop_duplicates(keep='first') analog."""
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # -------------------------------------------------------------- exact dedup
 
 

@@ -180,6 +180,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: MinHash+LSH pairs → connected-duplicate
+    clusters → keep representatives.  Oracle: the same pipeline as a
+    recursive CTE (transitive closure + min-label) in DuckDB."""
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = D.minhash_duplicate_pairs(corpus, threshold=0.5)
+    clusters = D.duplicate_clusters(pairs)
+    return D.keep_cluster_representatives(corpus, clusters).select("doc_id")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _docs(spark, sf_dir).filter("doc_id < 30")
     return D.simhash(df)
@@ -618,6 +628,48 @@ def build_oracle_sql() -> dict[str, str]:
     SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
     """
 
+    oracles["dedup_pipeline"] = f"""
+    WITH RECURSIVE corpus AS ({_DUP_CORPUS_DUCK}),
+    shs AS (SELECT doc_id, {sh} AS sh FROM corpus),
+    sig AS (SELECT doc_id, sh, {mh_select} FROM shs),
+    bands AS (
+      {bands_union}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT c.doc_a, c.doc_b,
+               round(CASE WHEN len(list_distinct(sa.sh || sb.sh)) = 0 THEN 0.0
+                     ELSE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                          len(list_distinct(sa.sh || sb.sh)) END, 6) AS jaccard
+        FROM cand c
+        JOIN shs sa ON sa.doc_id = c.doc_a
+        JOIN shs sb ON sb.doc_id = c.doc_b
+      ) WHERE jaccard >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    clusters AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT doc_id FROM corpus
+    WHERE doc_id NOT IN (
+      SELECT doc_id FROM clusters WHERE doc_id != cluster_id
+    )
+    """
+
     oracles["dedup_simhash"] = f"""
     SELECT CAST(doc_id AS VARCHAR) AS doc_id,
            {D.simhash_expr_duck('text')} AS simhash
@@ -747,4 +799,5 @@ QUERIES = {
     "whitelist_perplexity": q_whitelist_perplexity,
     "langid_trigram": q_langid_trigram,
     "span_dedup": q_span_dedup,
+    "dedup_pipeline": q_dedup_pipeline,
 }
