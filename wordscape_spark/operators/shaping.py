@@ -55,6 +55,32 @@ def deterministic_sample(
     return df.filter(F.expr(f"{_bucket_expr(id_col, 'spark')} < {pct}"))
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budget_per_lang: int,
+    lang_col: str = "lang",
+    tokens_col: str = "tokens",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Select documents per language until a token budget is filled
+    (cumulative-sum window in deterministic ``order_col`` order) — the
+    training-data "N tokens per language" shaping op.
+
+    One shuffle on the language key; languages are few and large, and the
+    window only carries (lang, order, tokens)."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(lang_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum(tokens_col).over(w))
+        .filter(F.col("cum_tokens") <= budget_per_lang)
+    )
+
+
 def stratified_sample(
     spans: DataFrame, pct_per_kind: dict[str, int], id_col: str = "doc_id"
 ) -> DataFrame:

@@ -414,6 +414,19 @@ def q_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget selection (window cumsum)."""
+    df = _docs(spark, sf_dir).withColumn(
+        "tokens", F.expr(T.token_exprs("text", "spark")["tokens_ws"])
+    )
+    return SH.token_budget_sample(df, budget_per_lang=2_000).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "tokens",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 analog: drop duplicate classified spans by deterministic span hash
     (ref: postprocessing/postprocess.py:94-95 — sha1-of-repr identity).
@@ -749,6 +762,21 @@ def build_oracle_sql() -> dict[str, str]:
     FROM figs
     """
 
+    oracles["token_budget"] = f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {tok['tokens_ws']} AS tokens FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, lang, tokens,
+             CAST(sum(tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, lang, tokens, cum_tokens FROM cum WHERE cum_tokens <= 2000
+    """
+
     oracles["shape_sample"] = f"""
     SELECT doc_id, source FROM documents
     WHERE {SH._bucket_expr('doc_id', 'duckdb')} < 37
@@ -800,4 +828,5 @@ QUERIES = {
     "langid_trigram": q_langid_trigram,
     "span_dedup": q_span_dedup,
     "dedup_pipeline": q_dedup_pipeline,
+    "token_budget": q_token_budget,
 }

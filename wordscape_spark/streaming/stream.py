@@ -57,6 +57,42 @@ def stream_extract(
     return writer.start()
 
 
+def stream_dedup_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming extraction with *stateful* content dedup: the first
+    occurrence of each content hash wins across micro-batches (the streaming
+    twin of the bytehash history anti-join, deduplicate.py:10-56 — the
+    in-driver hash set becomes Spark's state store, exactly-once via the
+    stream checkpoint).
+
+    Scale note: without a watermark the dedup state grows with distinct
+    content forever; on an unbounded production stream bound it with
+    ``withWatermark`` + ``dropDuplicatesWithinWatermark`` (dedup horizon) or
+    periodically compact to the batch bytehash-history anti-join."""
+    docs = read_doc_stream(spark, input_dir)
+    extracted = docs.select("doc_id", "spans").mapInPandas(
+        X._make_classify_fn(cfg), schema=X.EXTRACTED_SCHEMA
+    )
+    deduped = extracted.withColumn(
+        "bytehash", F.sha2(F.col("text"), 256)
+    ).dropDuplicates(["bytehash"])
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_quality_metrics(
     spark: SparkSession,
     input_dir: str,
