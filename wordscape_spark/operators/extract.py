@@ -233,6 +233,18 @@ def _make_chunk_fn(cfg: ExtractConfig):
         for pdf in batches:
             rows = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                if len(spans) > cfg.max_doc_spans:
+                    # oversized-doc gate (B1/C1 analog): reject without
+                    # classifying — marker chunk, resolved at merge
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "chunk_idx": -1,
+                            "spans": [],
+                            "font_state": "REJ:too_many_spans",
+                        }
+                    )
+                    continue
                 try:
                     tuples = _spans_to_tuples(spans)
                     doc_rows = []
@@ -270,7 +282,7 @@ def _merge_font_states(key, pdf: pd.DataFrame) -> pd.DataFrame:
     apps: dict[str, int] = {}
     tracker: list = []
     for state_json in pdf["font_state"]:
-        if state_json.startswith("ERR:"):
+        if state_json.startswith(("ERR:", "REJ:")):
             return pd.DataFrame(
                 [{"doc_id": key[0], "font_state": state_json}]
             )
@@ -303,7 +315,7 @@ def _make_chunk_classify_fn(cfg: ExtractConfig):
                 pdf["doc_id"], pdf["chunk_idx"], pdf["spans"], pdf["doc_font_state"]
             ):
                 try:
-                    if state.startswith("ERR:") or chunk_idx < 0:
+                    if state.startswith(("ERR:", "REJ:")) or chunk_idx < 0:
                         raise _ChunkError(state)
                     h = heuristics_cache.get(doc_id)
                     if h is None:
@@ -316,7 +328,7 @@ def _make_chunk_classify_fn(cfg: ExtractConfig):
                     out_spans, decisions, counts = C.classify_elements(elements, h)
                 except Exception as exc:  # noqa: BLE001 — fault isolation
                     marker = (
-                        state if state.startswith("ERR:")
+                        state if state.startswith(("ERR:", "REJ:"))
                         else f"ERR:{type(exc).__name__}"
                     )
                     rows.append(
@@ -363,6 +375,9 @@ def _make_merge_partials_fn(cfg: ExtractConfig):
                 res = C.DocResult(
                     False, f"error:{marker[4:]}", [], "", {}, 0.0, {}
                 )
+                return pd.DataFrame([_result_row(key[0], res)])
+            if marker.startswith("REJ:"):
+                res = C.DocResult(False, marker[4:], [], "", {}, 0.0, {})
                 return pd.DataFrame([_result_row(key[0], res)])
         text = "\n".join(t for t in pdf["text"] if len(t) > 0)
         if len(text) < cfg.min_text_chars:
@@ -422,35 +437,14 @@ def extract(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
     """
     n_spans = F.size("spans")
 
-    # native reject of oversized docs — no Python runs for them
-    too_big = docs.filter(n_spans > F.lit(cfg.max_doc_spans)).select(
-        F.col("doc_id"),
-        F.lit(False).alias("ok"),
-        F.lit("too_many_spans").alias("reject_reason"),
-        F.array().cast(EXTRACTED_SCHEMA["spans"].dataType).alias("spans"),
-        F.lit("").alias("text"),
-        F.create_map().cast(EXTRACTED_SCHEMA["counts"].dataType).alias("counts"),
-        F.lit(0.0).alias("quality"),
-        F.create_map()
-        .cast(EXTRACTED_SCHEMA["builtin_props"].dataType)
-        .alias("builtin_props"),
-        *[
-            F.lit(0).cast(LongType()).alias(c)
-            for c in (
-                "num_words",
-                "num_chars",
-                "num_alph_chars",
-                "num_numeric_chars",
-                "num_alphnum_chars",
-            )
-        ],
-        F.lit(0.0).alias("alnum_prop"),
-        F.lit(0.0).alias("alph_to_num_ratio"),
-    )
-    eligible = docs.filter(n_spans <= F.lit(cfg.max_doc_spans))
-
-    small = eligible.filter(n_spans <= F.lit(cfg.salt_threshold))
-    big = eligible.filter(n_spans > F.lit(cfg.salt_threshold))
+    # Exactly TWO scans of the input: the small path and the salted path.
+    # The oversized-document gate (too_many_spans, no Python classification)
+    # is folded into the chunk UDF as a reject marker so it does not cost a
+    # third scan.  (On Iceberg the salt_threshold split would become a
+    # partition-level metadata filter on a maintained size column; on raw
+    # parquet both branches read the spans column.)
+    small = docs.filter(n_spans <= F.lit(cfg.salt_threshold))
+    big = docs.filter(n_spans > F.lit(cfg.salt_threshold))
 
     small_out = ensure_parallelism(small.select("doc_id", "spans")).mapInPandas(
         _make_classify_fn(cfg), schema=EXTRACTED_SCHEMA
@@ -483,7 +477,7 @@ def extract(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
         _make_merge_partials_fn(cfg), schema=EXTRACTED_SCHEMA
     )
 
-    return small_out.unionByName(big_out).unionByName(too_big)
+    return small_out.unionByName(big_out)
 
 
 def spans_out(extracted: DataFrame) -> DataFrame:
