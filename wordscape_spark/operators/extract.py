@@ -502,6 +502,23 @@ def doc_meta(extracted: DataFrame) -> DataFrame:
     )
 
 
+def doc_meta_wide(extracted: DataFrame) -> DataFrame:
+    """The reference's ORM-shaped metadata row: one ``num_<entity>`` column
+    per taxonomy category (DocMetadataRecordDB, orm/models.py:49-129) plus
+    quality + text metrics — materialized from the counts map with native
+    element_at (no explode/pivot shuffle)."""
+    from wordscape_spark import taxonomy as tax
+
+    out = extracted.filter("ok")
+    for name in tax.ENTITY_NAMES:
+        out = out.withColumn(
+            f"num_{name}",
+            F.coalesce(F.element_at("counts", name), F.lit(0)).cast("long"),
+        )
+    return out.drop("spans", "counts", "builtin_props", "text",
+                    "ok", "reject_reason")
+
+
 def rejects(extracted: DataFrame) -> DataFrame:
     """Per-document fault isolation — the reference's failed_*.jsonl analog
     (annotator_process.py:769-778) as a side-output table."""

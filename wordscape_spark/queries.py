@@ -313,6 +313,16 @@ def q_extract_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_meta_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORM-shaped wide metadata (num_<entity> columns). Rows-only."""
+    extracted = X.extract(_interleaved(spark, sf_dir))
+    wide = X.doc_meta_wide(extracted)
+    cols = ["doc_id", "quality", "num_chars"] + [
+        c for c in wide.columns if c.startswith("num_heading")
+    ] + ["num_title", "num_table", "num_figure", "num_list"]
+    return wide.select(*cols).withColumn("quality", F.round("quality", 6))
+
+
 def q_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracted = X.extract(_interleaved(spark, sf_dir))
     meta = X.doc_meta(extracted)
@@ -829,4 +839,5 @@ QUERIES = {
     "span_dedup": q_span_dedup,
     "dedup_pipeline": q_dedup_pipeline,
     "token_budget": q_token_budget,
+    "doc_meta_wide": q_doc_meta_wide,
 }
