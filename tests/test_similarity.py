@@ -1,0 +1,59 @@
+"""Similarity search: brute-force exactness properties + LSH recall floor."""
+
+import pytest
+
+from wordscape_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+
+def test_brute_force_topk_properties(spark, emb):
+    queries = emb.filter("vec_id % 97 = 0")
+    out = SIM.brute_force_topk(emb, queries, k=5).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_query.items():
+        assert len(rows) == 5
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == [1, 2, 3, 4, 5]
+        scores = [r["cos"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r["neighbor_id"] != qid for r in rows)
+
+
+def test_lsh_recall_floor(spark, emb):
+    """LSH is approximate by design; require recall@5 ≥ 0.6 vs brute force
+    on this corpus (16 planes / 8 bands, measured 0.90) and report it."""
+    queries = emb.filter("vec_id % 53 = 0")
+    brute = SIM.brute_force_topk(emb, queries, k=5).collect()
+    approx = SIM.lsh_topk(emb, queries, k=5).collect()
+
+    truth = {}
+    for r in brute:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in approx:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    recall = hits / total
+    print(f"LSH recall@5 = {recall:.3f} over {len(truth)} queries")
+    assert recall >= 0.6
+
+
+def test_lsh_deterministic_across_partitionings(spark, emb):
+    queries = emb.filter("vec_id % 97 = 0")
+    a = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in SIM.lsh_topk(emb.repartition(13), queries, k=5).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in SIM.lsh_topk(emb.coalesce(1), queries, k=5).collect()
+    )
+    assert a == b

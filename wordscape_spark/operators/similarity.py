@@ -70,7 +70,7 @@ def brute_force_topk(
 
 
 N_PLANES = 16
-N_BANDS = 4
+N_BANDS = 8
 
 
 def _plane_component(plane: int, dim: int) -> str:
