@@ -383,6 +383,22 @@ def test_header_footer_textbox_sdt():
     ]
 
 
+def test_sdt_form_field_and_tag():
+    spans = [
+        (sig.encode_sdt("", form="tag"), "Name", None),
+        (sig.encode_sdt("", form="field"), "Enter text", None),
+        (sig.encode_sdt("", form="field"), "  ", None),  # ws skipped
+    ]
+    res = run(spans)
+    assert kinds(res) == [
+        ("form_tag", "Name"),
+        ("form_field", "Enter text"),
+    ]
+    # both decisions are xml_pattern → builtin for the quality score
+    assert res.builtin_props["form_tag"] == 1.0
+    assert res.builtin_props["form_field"] == 1.0
+
+
 def test_body_text_serialization_order():
     spans = (
         par("first", p=0)

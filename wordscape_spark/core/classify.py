@@ -81,6 +81,7 @@ class StreamPar:  # header / footer / textbox paragraph
 class Sdt:
     gallery: str
     text: str
+    form: str = ""  # '' | 'field' | 'tag' (entities/form.py analog)
 
 
 @dataclasses.dataclass
@@ -146,7 +147,10 @@ def parse_elements(
             assert isinstance(el, StreamPar)
             el.text += text
         elif tag == "sdt":
-            elements.append(Sdt(gallery=fields.get("g", ""), text=text))
+            elements.append(
+                Sdt(gallery=fields.get("g", ""), text=text,
+                    form=fields.get("f", ""))
+            )
             cur_key = None
         elif tag == "tc":
             c = sig.parse_cell(kind, text)
@@ -817,7 +821,14 @@ def classify_elements(
         elif isinstance(el, Sdt):
             if len(el.text) == 0 or el.text.isspace():
                 continue
-            cat = tax.BIBLIOGRAPHY if "bib" in el.gallery else tax.TOC
+            if el.form == "field":
+                # sdt-based form field (ref: entities/form.py:94-124)
+                cat = tax.FORM_FIELD
+            elif el.form == "tag":
+                # the run labelling the field (ref: form.py:140-158)
+                cat = tax.FORM_TAG
+            else:
+                cat = tax.BIBLIOGRAPHY if "bib" in el.gallery else tax.TOC
             out_spans.append((cat, el.text, None))
             decisions.append(
                 Decision(el.text, tax.SRC_XML_PATTERN, tax.NAME_TO_ID[cat])

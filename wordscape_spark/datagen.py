@@ -212,6 +212,10 @@ def _gen_form_doc(doc: _Doc, rng: random.Random, lang: str) -> None:
     )
     # dotted field
     doc.body_par([f"Sign here ", "." * 8], style="normal")
+    # sdt-based form controls (tag run labelling a field)
+    if rng.random() < 0.7:
+        doc.add(sig.encode_sdt("", form="tag"), "Full name")
+        doc.add(sig.encode_sdt("", form="field"), "Click here to enter text")
     doc.body_par(_sentence(rng, lang, 30), style="normal")
 
 

@@ -189,8 +189,12 @@ def encode_cell(table: int, row: int, col: int, header: bool) -> str:
     return f"tc;t={table};r={row};c={col};h={int(header)}"
 
 
-def encode_sdt(gallery: str) -> str:
-    return f"sdt;g={gallery}"
+def encode_sdt(gallery: str, form: str = "") -> str:
+    """Structured document tag.  ``gallery`` is the docPartGallery string
+    (toc/bibliography detection); ``form`` ∈ {'', 'field', 'tag'} marks
+    sdt-based form fields/tags (the reference's colorize_builtin_form_elements
+    path, entities/form.py:11-170)."""
+    return f"sdt;g={gallery};f={form}"
 
 
 def fontprop_string(size: float, bold: bool | None, italic: bool | None) -> str:
