@@ -138,6 +138,8 @@ def run_scaling() -> None:
     ]
     all_cores = sorted({c for p in pairs for c in p})
 
+    trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
+
     def measure(cores: int) -> dict:
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = str(cores)
@@ -145,10 +147,15 @@ def run_scaling() -> None:
         cmd = [sys.executable, __file__, "--extract-only"]
         if shutil_which("taskset"):
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-        out = subprocess.run(
-            cmd, capture_output=True, text=True, env=env, cwd=REPO,
-        )
-        return json.loads(out.stdout.strip().splitlines()[-1])
+        best = None
+        for _ in range(trials):  # independent JVMs: host noise dominates
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, env=env, cwd=REPO,
+            )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            if best is None or r["queries"]["extract"] < best["queries"]["extract"]:
+                best = r
+        return best
 
     results = {c: measure(c) for c in all_cores}
     n = results[all_cores[0]]["n_docs"]

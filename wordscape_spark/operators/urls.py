@@ -79,8 +79,10 @@ def _clean_url(url: str) -> str | None:
     starts = [m.start() for m in _URL_START.finditer(u)]
     if not starts:
         return None
-    u = u[starts[-1]:]
-    return u if _DOC_URL.match(u) else u
+    # slice from the last scheme marker: wrapped/concatenated urls yield the
+    # innermost candidate (the reference additionally re-validates against
+    # the .doc/.docx pattern downstream — filter_doc_urls here)
+    return u[starts[-1]:]
 
 
 def clean_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
