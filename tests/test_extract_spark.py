@@ -52,6 +52,18 @@ def _assert_equal(spark_rows, oracle, cfg):
         assert got["text"] == expected.text, doc_id
         assert dict(got["counts"]) == expected.counts, doc_id
         assert got["quality"] == pytest.approx(expected.quality), doc_id
+        # page model: span→page assignment and per-page records must be
+        # bit-identical under any path (incl. salted chunk/merge)
+        got_pages = [s["page"] for s in got["spans"]]
+        assert got_pages == expected.span_pages, f"span pages in {doc_id}"
+        got_page_recs = [
+            (p["page"], p["text"], dict(p["counts"])) for p in got["pages"]
+        ]
+        assert got_page_recs == [
+            (p, t, dict(c)) for p, t, c in expected.pages
+        ], f"page records in {doc_id}"
+        assert dict(got["props"]) == expected.props, doc_id
+        assert list(got["lang_tags"]) == expected.lang_tags, doc_id
 
 
 def test_spark_matches_oracle(spark, docs_path):

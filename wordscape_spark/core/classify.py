@@ -87,6 +87,7 @@ class Sdt:
 @dataclasses.dataclass
 class TableEl:
     cells: list[sig.CellSignal]
+    parent: int | None = None  # parent table idx when nested
 
 
 @dataclasses.dataclass
@@ -94,7 +95,21 @@ class Figure:
     media_ref: str | None
 
 
-Element = BodyPar | StreamPar | Sdt | TableEl | Figure
+@dataclasses.dataclass
+class PageBreak:
+    """Explicit page boundary (``pb`` tag): increments the 1-based page
+    counter (page-level records per orm/models.py:132-187)."""
+
+
+@dataclasses.dataclass
+class Meta:
+    """Document-intrinsic metadata span (oxml_metadata.py:33-58 analog)."""
+
+    key: str
+    value: str
+
+
+Element = BodyPar | StreamPar | Sdt | TableEl | Figure | PageBreak | Meta
 
 
 def parse_elements(
@@ -156,13 +171,19 @@ def parse_elements(
             c = sig.parse_cell(kind, text)
             key = ("tc", c.table)
             if key != cur_key:
-                elements.append(TableEl(cells=[]))
+                elements.append(TableEl(cells=[], parent=c.parent))
                 cur_key = key
             tbl = elements[-1]
             assert isinstance(tbl, TableEl)
             tbl.cells.append(c)
         elif tag == "fig":
             elements.append(Figure(media_ref=media_ref))
+            cur_key = None
+        elif tag == "pb":
+            elements.append(PageBreak())
+            cur_key = None
+        elif tag == "meta":
+            elements.append(Meta(key=fields.get("k", ""), value=text))
             cur_key = None
         else:  # unknown tag: ignore (forward compatibility)
             cur_key = None
@@ -183,12 +204,16 @@ def serialize_table(tbl: TableEl) -> str:
 
 
 def serialize_text(elements: Iterable[Element]) -> str:
-    """Body-order document text (ref: text_extraction.py:85-118)."""
+    """Body-order document text (ref: text_extraction.py:85-118).
+
+    Nested tables are excluded: the reference walks top-level body children
+    and ``_Cell.text`` covers the cell's paragraphs only, so nested-table
+    content never reaches the document text (text_extraction.py:96-118)."""
     parts = []
     for el in elements:
         if isinstance(el, BodyPar):
             s = el.text
-        elif isinstance(el, TableEl):
+        elif isinstance(el, TableEl) and el.parent is None:
             s = serialize_table(el)
         else:
             continue  # header/footer/textbox/sdt/figure are not body children
@@ -638,6 +663,15 @@ class DocResult:
     counts: dict[str, int]
     quality: float
     builtin_props: dict[str, float]
+    # page model (orm/models.py:132-187 analog): page of each output span,
+    # and per-page (page_number, serialized text, entity counts) records
+    span_pages: list[int] = dataclasses.field(default_factory=list)
+    pages: list[tuple[int, str, dict[str, int]]] = dataclasses.field(
+        default_factory=list
+    )
+    # D12 document-intrinsic metadata (oxml_metadata.py:33-58)
+    props: dict[str, str] = dataclasses.field(default_factory=dict)
+    lang_tags: list[str] = dataclasses.field(default_factory=list)
 
 
 def _emit_heuristic_par(
@@ -763,7 +797,10 @@ def _classify_table(
 ) -> None:
     """Cells in document order; one builtin decision per table
     (ref: colorize_table.py:19-23); structural counts mirror the geometry
-    entities the reference's detector would emit (tables/*)."""
+    entities the reference's detector would emit (tables/*).  Nested tables
+    arrive as their own TableEl (the recursion in
+    table_colorization_handler.py:165-178 re-enters the same handler) and
+    contribute their own table/row/column counts."""
     decisions.append(Decision(None, tax.SRC_BUILTIN, tax.NAME_TO_ID[tax.TABLE]))
     header_rows = set()
     body_rows = set()
@@ -786,18 +823,46 @@ def _classify_table(
 def classify_elements(
     elements: Sequence[Element],
     heuristics: FontHeuristics,
-) -> tuple[list[tuple[str, str, str | None]], list[Decision], dict[str, int]]:
+) -> tuple[
+    list[tuple[str, str, str | None]],
+    list[Decision],
+    dict[str, int],
+    list[int],
+    list[tuple[int, str, dict[str, int]]],
+]:
     """Classify pre-parsed elements with a prebuilt heuristic map.
+
+    Returns (out_spans, decisions, counts, span_pages, pages) where
+    ``span_pages[i]`` is the 1-based page of ``out_spans[i]`` and ``pages``
+    is one (page_number, page_text, page_counts) record per physical page
+    (PageMetadataRecordDB analog, orm/models.py:132-187) — empty pages
+    included, like blank rendered pages.
 
     Shared by the whole-document path and the salted mega-document chunk
     path (the classification of an element depends only on the element and
-    the document-level font map, never on neighboring elements).
+    the document-level font map, never on neighboring elements; page numbers
+    are offset at chunk-merge time).
     """
     out_spans: list[tuple[str, str, str | None]] = []
     decisions: list[Decision] = []
     counts: dict[str, int] = {}
+    span_pages: list[int] = []
+    page = 1
+    n_pages = 1
+    page_counts: dict[int, dict[str, int]] = {}
+    page_text_parts: dict[int, list[str]] = {}
 
     for el in elements:
+        if isinstance(el, PageBreak):
+            page += 1
+            n_pages = page
+            continue
+        if isinstance(el, Meta):
+            continue
+
+        before = len(out_spans)
+        struct_delta: dict[str, int] = {}
+
         if isinstance(el, BodyPar):
             _classify_body_par(el, heuristics, out_spans, decisions)
         elif isinstance(el, StreamPar):
@@ -834,17 +899,40 @@ def classify_elements(
                 Decision(el.text, tax.SRC_XML_PATTERN, tax.NAME_TO_ID[cat])
             )
         elif isinstance(el, TableEl):
-            _classify_table(el, out_spans, decisions, counts)
+            _classify_table(el, out_spans, decisions, struct_delta)
         elif isinstance(el, Figure):
             out_spans.append((tax.FIGURE, "", el.media_ref))
             decisions.append(
                 Decision(None, tax.SRC_BUILTIN, tax.NAME_TO_ID[tax.FIGURE])
             )
 
+        new_spans = out_spans[before:]
+        if new_spans or struct_delta:
+            span_pages.extend([page] * len(new_spans))
+            pc = page_counts.setdefault(page, {})
+            for kind, _t, _m in new_spans:
+                pc[kind] = pc.get(kind, 0) + 1
+            for k, v in struct_delta.items():
+                pc[k] = pc.get(k, 0) + v
+                counts[k] = counts.get(k, 0) + v
+
+        # per-page body text (same serialization rule as serialize_text)
+        if isinstance(el, BodyPar):
+            s = el.text
+        elif isinstance(el, TableEl) and el.parent is None:
+            s = serialize_table(el)
+        else:
+            s = ""
+        if len(s) > 0:
+            page_text_parts.setdefault(page, []).append(s)
+
     for kind, _t, _m in out_spans:
         counts[kind] = counts.get(kind, 0) + 1
-    # structural table counts were added separately; cell spans already counted
-    return out_spans, decisions, counts
+    pages = [
+        (p, "\n".join(page_text_parts.get(p, [])), page_counts.get(p, {}))
+        for p in range(1, n_pages + 1)
+    ]
+    return out_spans, decisions, counts, span_pages, pages
 
 
 def classify_document(
@@ -864,7 +952,9 @@ def classify_document(
     heuristics = FontHeuristics.from_pars(
         [el for el in elements if isinstance(el, BodyPar)], cfg
     )
-    out_spans, decisions, counts = classify_elements(elements, heuristics)
+    out_spans, decisions, counts, span_pages, pages = classify_elements(
+        elements, heuristics
+    )
 
     quality, builtin_props = quality_from_counter(
         char_counter_from_decisions(decisions), counts
@@ -873,7 +963,21 @@ def classify_document(
         (kind, text, media_ref, i)
         for i, (kind, text, media_ref) in enumerate(out_spans)
     ]
-    return DocResult(True, None, final, doc_text, counts, quality, builtin_props)
+    props: dict[str, str] = {}
+    lang_tags: set[str] = set()
+    for el in elements:
+        if isinstance(el, Meta):
+            if el.key == "lang_tag":
+                lang_tags.add(el.value)
+            elif el.key:
+                props[el.key] = el.value
+    return DocResult(
+        True, None, final, doc_text, counts, quality, builtin_props,
+        span_pages=span_pages, pages=pages, props=props,
+        # the reference returns list(set(...)) (oxml_metadata.py:33-41);
+        # sorted here so distributed results are deterministic
+        lang_tags=sorted(lang_tags),
+    )
 
 
 def char_counter_from_decisions(

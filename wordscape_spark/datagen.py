@@ -25,6 +25,9 @@ import pyarrow.parquet as pq
 from wordscape_spark import signal as sig
 
 BASE_DIR = pathlib.Path("/root/repo/data/interleaved")
+# bump when the generator's output changes: the interleaved table is cached
+# on disk per (version, sf), and goldens/oracles key off the same version
+DATAGEN_VERSION = 2
 
 # synthetic language vocabularies (stopword-bearing so language ID has signal)
 VOCAB = {
@@ -247,6 +250,18 @@ def _gen_table_media_doc(doc: _Doc, rng: random.Random, lang: str) -> None:
                     else ""
                 )
                 doc.add(sig.encode_cell(t, r, c, header=r < header_rows), txt)
+        # nested table hoisted right after its parent (grammar rule; the
+        # reference recurses into in-cell tables,
+        # table_colorization_handler.py:165-178)
+        if rng.random() < 0.35:
+            nt = doc.tbl
+            doc.tbl += 1
+            for r in range(rng.randint(1, 3)):
+                for c in range(2):
+                    doc.add(
+                        sig.encode_cell(nt, r, c, header=False, parent=t),
+                        _sentence(rng, lang, 2) if rng.random() > 0.2 else "",
+                    )
         if rng.random() < 0.5:
             doc.body_par(_sentence(rng, lang, 6), style="caption")
     for i in range(rng.randint(1, 3)):
@@ -274,6 +289,31 @@ _ARCHETYPES = [
     (_gen_stream_doc, 0.05),
 ]
 
+# w:lang tag values per document language (languages_autocorrect analog)
+_LANG_TAGS = {
+    "en": ["en-US", "en-GB"],
+    "de": ["de-DE", "de-AT"],
+    "fr": ["fr-FR", "fr-CA"],
+}
+
+
+def _add_meta(doc: _Doc, rng: random.Random, lang: str) -> None:
+    """Document-intrinsic metadata spans (D12, oxml_metadata.py:33-58):
+    core properties + w:lang tags, all deterministic."""
+    y, m, d = rng.randint(2012, 2022), rng.randint(1, 12), rng.randint(1, 28)
+    created = f"{y:04d}-{m:02d}-{d:02d}T{rng.randint(0, 23):02d}:00:00"
+    y2 = y + rng.randint(0, 2)
+    modified = f"{y2:04d}-{m:02d}-{d:02d}T{rng.randint(0, 23):02d}:30:00"
+    doc.add(sig.encode_meta("core_created"), created)
+    doc.add(sig.encode_meta("core_modified"), modified)
+    if rng.random() < 0.5:
+        doc.add(sig.encode_meta("core_title"), _sentence(rng, lang, 4))
+    tags = _LANG_TAGS[lang][: rng.randint(1, 2)]
+    if rng.random() < 0.2:
+        tags = tags + [rng.choice(_LANG_TAGS[rng.choice(list(VOCAB))])]
+    for tag in tags:
+        doc.add(sig.encode_meta("lang_tag"), tag)
+
 
 def generate_doc(
     doc_id: str, rng: random.Random, mega: bool = False,
@@ -285,6 +325,7 @@ def generate_doc(
         # skewed documents: mega ~10-20k spans and monster ~110k spans are
         # classified in place (below salt_threshold); ultra ~300k spans
         # exceeds it and takes the salted chunk path
+        _add_meta(doc, rng, lang)
         if ultra:
             sections = rng.randint(19_000, 21_000)
         elif monster:
@@ -296,14 +337,28 @@ def generate_doc(
                 [a for a, _ in _ARCHETYPES], [w for _, w in _ARCHETYPES]
             )[0]
             gen(doc, rng, lang)
+            if rng.random() < 0.3:
+                doc.add(sig.PAGE_BREAK, "")
         return doc
     r = rng.random()
     if r < 0.03:
         # sub-min-text doc (reject path)
         doc.body_par(_sentence(rng, lang, rng.randint(2, 8)), style="normal")
         return doc
+    _add_meta(doc, rng, lang)
     gen = rng.choices([a for a, _ in _ARCHETYPES], [w for _, w in _ARCHETYPES])[0]
     gen(doc, rng, lang)
+    # multi-page docs: extra page(s) with another section (~half of docs)
+    while rng.random() < 0.5:
+        doc.add(sig.PAGE_BREAK, "")
+        extra = rng.choices(
+            [a for a, _ in _ARCHETYPES], [w for _, w in _ARCHETYPES]
+        )[0]
+        extra(doc, rng, lang)
+        if rng.random() > 0.35:
+            break
+    if rng.random() < 0.05:
+        doc.add(sig.PAGE_BREAK, "")  # trailing blank page (empty-page path)
     # pad: ensure most docs clear the 200-char gate
     while sum(len(t) for _, t, _ in doc.spans) < 260:
         doc.body_par(_sentence(rng, lang, 20), style="normal")
@@ -353,7 +408,7 @@ def ensure_interleaved(sf: float, base_dir: os.PathLike | str = BASE_DIR) -> str
     Returns the parquet path.  Atomic (tmp + rename) so concurrent callers
     are safe.
     """
-    out_dir = pathlib.Path(base_dir) / f"sf{sf:g}"
+    out_dir = pathlib.Path(base_dir) / f"v{DATAGEN_VERSION}" / f"sf{sf:g}"
     out = out_dir / "docs.parquet"
     if out.exists():
         return str(out)

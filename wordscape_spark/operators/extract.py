@@ -50,6 +50,27 @@ SPAN_TYPE = StructType(
     ]
 )
 
+# classified output spans additionally carry the 1-based page number
+# (page model, orm/models.py:132-187); the span-equality surface is still
+# (kind, text, media_ref, offset)
+OUT_SPAN_TYPE = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", IntegerType()),
+        StructField("page", IntegerType()),
+    ]
+)
+
+PAGE_TYPE = StructType(
+    [
+        StructField("page", IntegerType()),
+        StructField("text", StringType()),
+        StructField("counts", MapType(StringType(), LongType())),
+    ]
+)
+
 INPUT_SCHEMA = StructType(
     [
         StructField("doc_id", StringType()),
@@ -62,11 +83,14 @@ EXTRACTED_SCHEMA = StructType(
         StructField("doc_id", StringType()),
         StructField("ok", BooleanType()),
         StructField("reject_reason", StringType()),
-        StructField("spans", ArrayType(SPAN_TYPE)),
+        StructField("spans", ArrayType(OUT_SPAN_TYPE)),
+        StructField("pages", ArrayType(PAGE_TYPE)),
         StructField("text", StringType()),
         StructField("counts", MapType(StringType(), LongType())),
         StructField("quality", DoubleType()),
         StructField("builtin_props", MapType(StringType(), DoubleType())),
+        StructField("props", MapType(StringType(), StringType())),
+        StructField("lang_tags", ArrayType(StringType())),
         StructField("num_words", LongType()),
         StructField("num_chars", LongType()),
         StructField("num_alph_chars", LongType()),
@@ -97,10 +121,12 @@ _PARTIAL_SCHEMA = StructType(
     [
         StructField("doc_id", StringType()),
         StructField("chunk_idx", IntegerType()),
-        StructField("spans", ArrayType(SPAN_TYPE)),
+        StructField("spans", ArrayType(OUT_SPAN_TYPE)),  # page is chunk-local
+        StructField("pages", ArrayType(PAGE_TYPE)),      # chunk-local pages
         StructField("text", StringType()),
         StructField("counts", MapType(StringType(), LongType())),
         StructField("char_counter", StringType()),
+        StructField("meta_json", StringType()),  # props/lang_tags of chunk
     ]
 )
 
@@ -118,6 +144,21 @@ def _spans_to_rows(spans: list[tuple]) -> list[dict]:
     ]
 
 
+def _out_spans_to_rows(spans: list[tuple], span_pages: list[int]) -> list[dict]:
+    pages = span_pages if len(span_pages) == len(spans) else [1] * len(spans)
+    return [
+        {"kind": k, "text": t, "media_ref": m, "offset": o, "page": p}
+        for (k, t, m, o), p in zip(spans, pages)
+    ]
+
+
+def _pages_to_rows(pages: list[tuple]) -> list[dict]:
+    return [
+        {"page": p, "text": t, "counts": {k: int(v) for k, v in c.items()}}
+        for (p, t, c) in pages
+    ]
+
+
 def _result_row(doc_id: str, res: C.DocResult) -> dict:
     # D10 metrics are computed here, inside the classification UDF: they
     # parallelize with classification at zero extra Arrow traffic.  (A native
@@ -129,11 +170,14 @@ def _result_row(doc_id: str, res: C.DocResult) -> dict:
         "doc_id": doc_id,
         "ok": res.ok,
         "reject_reason": res.reject_reason,
-        "spans": _spans_to_rows(res.spans),
+        "spans": _out_spans_to_rows(res.spans, res.span_pages),
+        "pages": _pages_to_rows(res.pages),
         "text": res.text,
         "counts": {k: int(v) for k, v in res.counts.items()},
         "quality": float(res.quality),
         "builtin_props": res.builtin_props,
+        "props": res.props,
+        "lang_tags": list(res.lang_tags),
         "num_words": int(metrics["num_words"]),
         "num_chars": int(metrics["num_chars"]),
         "num_alph_chars": int(metrics["num_alph_chars"]),
@@ -325,7 +369,9 @@ def _make_chunk_classify_fn(cfg: ExtractConfig):
                             heuristics_cache.clear()
                             heuristics_cache[doc_id] = h
                     elements = C.parse_elements(_spans_to_tuples(spans))
-                    out_spans, decisions, counts = C.classify_elements(elements, h)
+                    out_spans, decisions, counts, span_pages, pages = (
+                        C.classify_elements(elements, h)
+                    )
                 except Exception as exc:  # noqa: BLE001 — fault isolation
                     marker = (
                         state if state.startswith(("ERR:", "REJ:"))
@@ -336,24 +382,41 @@ def _make_chunk_classify_fn(cfg: ExtractConfig):
                             "doc_id": doc_id,
                             "chunk_idx": int(chunk_idx),
                             "spans": [],
+                            "pages": [],
                             "text": "",
                             "counts": {},
                             "char_counter": marker,
+                            "meta_json": "{}",
                         }
                     )
                     continue
+                props: dict[str, str] = {}
+                lang_tags: list[str] = []
+                for el in elements:
+                    if isinstance(el, C.Meta):
+                        if el.key == "lang_tag":
+                            lang_tags.append(el.value)
+                        elif el.key:
+                            props[el.key] = el.value
                 rows.append(
                     {
                         "doc_id": doc_id,
                         "chunk_idx": int(chunk_idx),
                         "spans": [
-                            {"kind": k, "text": t, "media_ref": m, "offset": i}
-                            for i, (k, t, m) in enumerate(out_spans)
+                            {"kind": k, "text": t, "media_ref": m,
+                             "offset": i, "page": p}
+                            for i, ((k, t, m), p) in enumerate(
+                                zip(out_spans, span_pages)
+                            )
                         ],
+                        "pages": _pages_to_rows(pages),
                         "text": C.serialize_text(elements),
                         "counts": {k: int(v) for k, v in counts.items()},
                         "char_counter": json.dumps(
                             C.char_counter_from_decisions(decisions)
+                        ),
+                        "meta_json": json.dumps(
+                            {"props": props, "lang_tags": lang_tags}
                         ),
                     }
                 )
@@ -384,20 +447,41 @@ def _make_merge_partials_fn(cfg: ExtractConfig):
             res = C.DocResult(False, "min_text", [], text, {}, 0.0, {})
             return pd.DataFrame([_result_row(key[0], res)])
         spans: list[tuple] = []
+        span_pages: list[int] = []
         counts: dict[str, int] = {}
         counter: dict[int, list[float]] = {}
-        for chunk_spans, chunk_counts, counter_json in zip(
-            pdf["spans"], pdf["counts"], pdf["char_counter"]
+        # page renumbering: chunk-local pages are 1-based; chunk i's page 1
+        # continues the last page of chunk i-1 (a chunk boundary is never a
+        # page break), so the running offset grows by (chunk_pages - 1)
+        page_offset = 0
+        merged_pages: dict[int, tuple[list[str], dict[str, int]]] = {}
+        doc_props: dict[str, str] = {}
+        lang_tags: set[str] = set()
+        for chunk_spans, chunk_pages, chunk_counts, counter_json, meta_json in zip(
+            pdf["spans"], pdf["pages"], pdf["counts"],
+            pdf["char_counter"], pdf["meta_json"],
         ):
             for s in chunk_spans:
                 spans.append((s["kind"], s["text"], s["media_ref"]))
+                span_pages.append(int(s["page"]) + page_offset)
+            for p in chunk_pages:
+                g = int(p["page"]) + page_offset
+                rec = merged_pages.setdefault(g, ([], {}))
+                if p["text"]:
+                    rec[0].append(p["text"])
+                for k, v in (p["counts"] or {}).items():
+                    rec[1][k] = rec[1].get(k, 0) + int(v)
+            page_offset += max(len(chunk_pages) - 1, 0)
             for k, v in chunk_counts.items():
                 counts[k] = counts.get(k, 0) + int(v)
             for ent_id, (b, h) in json.loads(counter_json).items():
                 slot = counter.setdefault(int(ent_id), [0.0, 0.0])
                 slot[0] += b
                 slot[1] += h
-        quality, props = C.quality_from_counter(counter, counts)
+            meta = json.loads(meta_json)
+            doc_props.update(meta.get("props", {}))
+            lang_tags.update(meta.get("lang_tags", []))
+        quality, builtin_props = C.quality_from_counter(counter, counts)
         res = C.DocResult(
             True,
             None,
@@ -405,7 +489,14 @@ def _make_merge_partials_fn(cfg: ExtractConfig):
             text,
             counts,
             quality,
-            props,
+            builtin_props,
+            span_pages=span_pages,
+            pages=[
+                (p, "\n".join(parts), pc)
+                for p, (parts, pc) in sorted(merged_pages.items())
+            ],
+            props=doc_props,
+            lang_tags=sorted(lang_tags),
         )
         return pd.DataFrame([_result_row(key[0], res)])
 
@@ -492,6 +583,9 @@ def doc_meta(extracted: DataFrame) -> DataFrame:
         "counts",
         "quality",
         "builtin_props",
+        "pages",
+        "props",
+        "lang_tags",
         "num_words",
         "num_chars",
         "num_alph_chars",
@@ -515,8 +609,25 @@ def doc_meta_wide(extracted: DataFrame) -> DataFrame:
             f"num_{name}",
             F.coalesce(F.element_at("counts", name), F.lit(0)).cast("long"),
         )
-    return out.drop("spans", "counts", "builtin_props", "text",
-                    "ok", "reject_reason")
+    return out.drop("spans", "pages", "counts", "builtin_props", "props",
+                    "lang_tags", "text", "ok", "reject_reason")
+
+
+def page_meta(extracted: DataFrame) -> DataFrame:
+    """Per-page records — the PageMetadataRecordDB analog
+    (orm/models.py:132-187): one row per physical page with page-level text
+    and entity counts.  A plain explode: no shuffle, partitioning inherited
+    from the extraction output."""
+    return (
+        extracted.filter("ok")
+        .select("doc_id", F.explode("pages").alias("pg"))
+        .select(
+            "doc_id",
+            F.col("pg.page").alias("page_number"),
+            F.col("pg.text").alias("page_text"),
+            F.col("pg.counts").alias("page_counts"),
+        )
+    )
 
 
 def rejects(extracted: DataFrame) -> DataFrame:

@@ -539,9 +539,12 @@ def build_oracle_sql() -> dict[str, str]:
       FROM s WHERE tag = 'r' GROUP BY doc_id, p
     ),
     trows AS (
+      -- nested tables (pt= field) never reach the document text
+      -- (text_extraction.py:96-118: top-level body children only)
       SELECT doc_id, t, CAST(r AS INT) AS rn, min(off) AS roff,
              string_agg(text, chr(9) ORDER BY off) AS rowtext
-      FROM s WHERE tag = 'tc' GROUP BY doc_id, t, r
+      FROM s WHERE tag = 'tc' AND kind NOT LIKE '%;pt=%'
+      GROUP BY doc_id, t, r
     ),
     tbls AS (
       SELECT doc_id, min(roff) AS ord,

@@ -24,8 +24,20 @@ Tags
 ``xp``   text-box paragraph run (field ``p``)
 ``sdt``  structured-document-tag paragraph; field ``g`` = gallery string
 ``tc``   table cell; fields ``t`` (table idx), ``r`` (row), ``c`` (col),
-         ``h`` (1 = header row)
+         ``h`` (1 = header row), optional ``pt`` (parent table idx — set when
+         this table is nested inside a cell of table ``pt``; the producer
+         hoists a nested table's spans into their own contiguous block right
+         after the parent table's spans, mirroring the reference's recursion
+         into nested tables, table_colorization_handler.py:165-178)
 ``fig``  embedded media; ``media_ref`` of the span is the pointer
+``pb``   page-break marker (analog of ``w:br w:type="page"`` /
+         ``w:lastRenderedPageBreak``): increments the 1-based page counter;
+         every element belongs to the page current at its first span
+         (page-level records per orm/models.py:132-187)
+``meta`` document-intrinsic metadata span (oxml_metadata.py:33-58 analog);
+         field ``k`` = property key (``core_created``, ``core_modified``,
+         ``core_title``, ... or ``lang_tag`` for one ``w:lang`` value);
+         span ``text`` carries the property value
 
 Paragraphs are maximal runs of consecutive spans sharing a tag + ``p`` (or
 ``t`` for tables): document order is the ``offset`` order.  Font properties
@@ -68,6 +80,7 @@ class CellSignal(NamedTuple):
     col: int
     header: bool
     text: str
+    parent: int | None = None  # parent table idx when nested, else None
 
 
 def _tri(v: str) -> bool | None:
@@ -133,7 +146,7 @@ def parse_run(kind: str, text: str) -> RunSignal:
 
 
 def parse_cell(kind: str, text: str) -> CellSignal:
-    # fast path: canonical encode_cell field order
+    # fast path: canonical encode_cell field order (no pt field)
     parts = kind.split(";")
     if (
         len(parts) == 5
@@ -151,12 +164,14 @@ def parse_cell(kind: str, text: str) -> CellSignal:
         except (ValueError, IndexError):
             pass
     _, f = parse_fields(kind)
+    pt = f.get("pt")
     return CellSignal(
         table=int(f.get("t", "0")),
         row=int(f.get("r", "0")),
         col=int(f.get("c", "0")),
         header=f.get("h", "0") == "1",
         text=text,
+        parent=int(pt) if pt else None,
     )
 
 
@@ -185,8 +200,21 @@ def encode_run(
     )
 
 
-def encode_cell(table: int, row: int, col: int, header: bool) -> str:
-    return f"tc;t={table};r={row};c={col};h={int(header)}"
+def encode_cell(
+    table: int, row: int, col: int, header: bool, parent: int | None = None
+) -> str:
+    base = f"tc;t={table};r={row};c={col};h={int(header)}"
+    if parent is not None:
+        base += f";pt={parent}"
+    return base
+
+
+def encode_meta(key: str) -> str:
+    """Document-metadata span kind; value travels in the span's text."""
+    return f"meta;k={key}"
+
+
+PAGE_BREAK = "pb"
 
 
 def encode_sdt(gallery: str, form: str = "") -> str:
