@@ -61,7 +61,8 @@ def doc_whitelist(
 
 def page_filter(meta: DataFrame) -> DataFrame:
     """E8 analog at doc granularity: must have words, must have entities,
-    must not consist solely of headings."""
+    must not consist solely of headings.  (True page-level gates live in
+    ``whitelist_pages`` below.)"""
     heading_kinds = [f"heading_{i}" for i in range(1, 10)] + ["title"]
     heading_sum = " + ".join(
         f"coalesce(element_at(counts, '{k}'), 0L)" for k in heading_kinds
@@ -72,3 +73,113 @@ def page_filter(meta: DataFrame) -> DataFrame:
     return meta.filter(F.col("num_words") > 0).filter(
         F.expr(f"({total}) > 0")
     ).filter(F.expr(f"({total}) - ({heading_sum}) > 0"))
+
+
+# ---------------------------------------------------------------------------
+# true page-level whitelist (E8) + member-intersection application (E9)
+# ---------------------------------------------------------------------------
+
+# the reference's "only headings" page filter counts ONLY num_heading_1..9 as
+# headings — num_title is a non-heading column there
+# (run_whitelist_pages.py:124-141)
+_PAGE_HEADING_KINDS = tuple(f"heading_{i}" for i in range(1, 10))
+LANG_PRED_THRESHOLD = 0.5  # ref: run_whitelist_pages.py:12
+
+
+def page_features(pages: DataFrame) -> DataFrame:
+    """num_words / n_entities / n_heading per exploded page record — all
+    native expressions over (page_text, page_counts), no Python."""
+    from wordscape_spark.operators.text import metrics_exprs
+
+    words = metrics_exprs("page_text", "spark")["num_words"]
+    heading_sum = " + ".join(
+        f"coalesce(element_at(page_counts, '{k}'), 0L)"
+        for k in _PAGE_HEADING_KINDS
+    )
+    total = "aggregate(map_values(page_counts), 0L, (acc, x) -> acc + x)"
+    return (
+        pages.withColumn("num_words", F.expr(words))
+        .withColumn("n_entities", F.expr(f"CAST({total} AS BIGINT)"))
+        .withColumn("n_heading", F.expr(f"CAST(({heading_sum}) AS BIGINT)"))
+    )
+
+
+def whitelist_pages(
+    extracted: DataFrame, lang_threshold: float = LANG_PRED_THRESHOLD
+) -> DataFrame:
+    """E8: the full page whitelist (ref: run_whitelist_pages.py:55-153).
+
+    Document gates (blacklist): annotation quality < global median,
+    pseudo-perplexity > per-language 80th percentile, unknown top language.
+    Page gates: no words, no entities, only headings, low page-language
+    confidence (> LANG_PRED_THRESHOLD kept).
+
+    Shape at scale: the doc gates shuffle one row per language (threshold
+    aggregates broadcast back); the page stage is an explode + per-row
+    filters — no page-level shuffle at all.
+    """
+    from wordscape_spark.operators.extract import page_meta
+    from wordscape_spark.operators.langid_trigram import (
+        UNKNOWN,
+        with_trigram_langid,
+    )
+
+    docs = extracted.filter("ok").select("doc_id", "text", "quality")
+    docs = docs.withColumn(
+        "ppl", F.expr(pseudo_perplexity_expr("text", "spark"))
+    )
+    docs = with_trigram_langid(docs)  # doc-level language (trigram model)
+    med = docs.agg(
+        F.expr("round(percentile(quality, 0.5), 6)").alias("q_med")
+    )
+    th = docs.groupBy("top_lang").agg(
+        F.expr("round(percentile(ppl, 0.8), 6)").alias("ppl_p80")
+    )
+    keep_docs = (
+        docs.crossJoin(F.broadcast(med))
+        .join(F.broadcast(th), "top_lang")
+        .filter(
+            (F.col("quality") >= F.col("q_med"))
+            & (F.col("ppl") <= F.col("ppl_p80"))
+            & (F.col("top_lang") != UNKNOWN)
+        )
+        .select("doc_id")
+    )
+
+    pages = page_features(page_meta(extracted)).join(
+        keep_docs, "doc_id", "left_semi"
+    )
+    pages = with_trigram_langid(pages, text_col="page_text")
+    return (
+        pages.filter("num_words > 0")
+        .filter("n_entities > 0")
+        .filter("NOT (n_heading > 0 AND n_entities - n_heading = 0)")
+        .filter(F.col("top_lang_score") > lang_threshold)
+        .select("doc_id", "page_number")
+    )
+
+
+def page_member_intersection(pages: DataFrame) -> DataFrame:
+    """E9 part 1 (ref: run_filter_tars.py:35-55): a page is applicable only
+    when all four artifact member sets contain it — renderings (every page),
+    text members, entity members, word members."""
+    feats = page_features(pages)
+    ids = lambda df: df.select("doc_id", "page_number")  # noqa: E731
+    return (
+        ids(feats)
+        .intersect(ids(feats.filter("length(page_text) > 0")))
+        .intersect(ids(feats.filter("n_entities > 0")))
+        .intersect(ids(feats.filter("num_words > 0")))
+    )
+
+
+def apply_page_whitelist(
+    extracted: DataFrame, lang_threshold: float = LANG_PRED_THRESHOLD
+) -> DataFrame:
+    """E9: member intersection ∩ whitelist — the filtered release set
+    (run_filter_tars.py:20-85 as a distributed semi-join, no tar scans)."""
+    from wordscape_spark.operators.extract import page_meta
+
+    members = page_member_intersection(page_meta(extracted))
+    wl = whitelist_pages(extracted, lang_threshold)
+    return members.join(wl, ["doc_id", "page_number"], "left_semi")

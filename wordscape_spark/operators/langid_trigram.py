@@ -96,7 +96,10 @@ def with_trigram_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
             rows = []
             for text in s:
                 langs = classify_text(text or "")
-                top = max(langs.items(), key=lambda kv: (kv[1], kv[0]))
+                # classify_text sorts by (-score, lang): its first entry IS
+                # the top pick (ties broken by lexicographically smallest
+                # language, consistently with the map order)
+                top = next(iter(langs.items()))
                 rows.append(
                     {
                         "languages": langs,

@@ -258,6 +258,27 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of LSH ANN vs the exact brute-force top-k — pins the
+    approximation quality as a driver-checked number, not just a test."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter("vec_id % 97 = 0")
+    brute = SIM.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = (
+        SIM.lsh_topk(emb, queries, k=5)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return brute.join(lsh, ["query_id", "neighbor_id"], "left").agg(
+        F.expr(
+            "CAST(round(count(hit) * 1.0 / count(*), 4) AS DOUBLE)"
+        ).alias("recall"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extraction queries (interleaved table)
 # ---------------------------------------------------------------------------
@@ -294,8 +315,9 @@ def q_extract_reject_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flattened classified span stream (the span-equality surface).
 
-    No SQL oracle (the classifier is not SQL-expressible); span equality vs
-    the pure-Python oracle is enforced in tests/test_extract_spark.py.
+    Oracle: the golden parquet materialized from the pure-Python
+    single-node classifier (the same oracle pytest pins span equality
+    against) — so the driver gate covers the flagship surface bit-for-bit.
     """
     extracted = _extracted(spark, sf_dir)
     return (
@@ -307,6 +329,7 @@ def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.kind").alias("kind"),
             F.col("s.text").alias("text"),
             F.col("s.media_ref").alias("media_ref"),
+            F.col("s.page").alias("page"),
         )
     )
 
@@ -342,6 +365,44 @@ def q_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracted = _extracted(spark, sf_dir)
     meta = X.doc_meta(extracted)
     return FL.page_filter(meta).select("doc_id", "num_words")
+
+
+def q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page records (PageMetadataRecordDB analog) with native word/entity
+    features."""
+    extracted = _extracted(spark, sf_dir)
+    return FL.page_features(X.page_meta(extracted)).select(
+        "doc_id", "page_number", "page_text",
+        "num_words", "n_entities", "n_heading",
+    )
+
+
+def q_page_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: the full page whitelist (doc gates + page gates),
+    ref run_whitelist_pages.py:55-153."""
+    extracted = _extracted(spark, sf_dir)
+    return FL.whitelist_pages(extracted)
+
+
+def q_page_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9: 4-member-set intersection ∩ page whitelist
+    (ref run_filter_tars.py:20-85)."""
+    extracted = _extracted(spark, sf_dir)
+    return FL.apply_page_whitelist(extracted)
+
+
+def q_doc_core_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12: core properties + w:lang distinct tags (oxml_metadata.py:33-58).
+    Oracle: direct SQL over the interleaved meta spans (independent of the
+    classifier)."""
+    extracted = _extracted(spark, sf_dir)
+    return extracted.filter("ok").select(
+        "doc_id",
+        F.element_at("props", "core_created").alias("core_created"),
+        F.element_at("props", "core_modified").alias("core_modified"),
+        F.element_at("props", "core_title").alias("core_title"),
+        F.array_join("lang_tags", ",").alias("languages_autocorrect"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -504,7 +565,10 @@ def _metrics_select_duck(col: str) -> str:
 
 
 def build_oracle_sql() -> dict[str, str]:
+    from wordscape_spark import golden as G
+
     ipath = _interleaved_oracle_path()
+    gold = G.ensure_golden(ORACLE_SF_DIR)
     m = T.metrics_exprs("text", "duckdb")
     lang = T.langid_exprs("text", "duckdb")
     tok = T.token_exprs("text", "duckdb")
@@ -768,13 +832,12 @@ def build_oracle_sql() -> dict[str, str]:
         + " FROM gated"
     )
 
-    oracles["extract_reject_counts"] = (
-        serial_cte.replace(
-            f"WHERE length(coalesce(d.text, '')) >= {_CFG.min_text_chars}",
-            f"WHERE length(coalesce(d.text, '')) < {_CFG.min_text_chars}",
-        )
-        + "SELECT 'min_text' AS reject_reason, count(*) AS n FROM gated"
-    )
+    # golden-rejects oracle covers every reject reason (min_text,
+    # too_many_spans, error:*), not just the min_text branch
+    oracles["extract_reject_counts"] = f"""
+    SELECT reject_reason, CAST(count(*) AS BIGINT) AS n
+    FROM read_parquet('{gold}/rejects.parquet') GROUP BY reject_reason
+    """
 
     oracles["media_stats"] = f"""
     WITH figs AS (
@@ -811,6 +874,254 @@ def build_oracle_sql() -> dict[str, str]:
     oracles["shape_sample"] = f"""
     SELECT doc_id, source FROM documents
     WHERE {SH._bucket_expr('doc_id', 'duckdb')} < 37
+    """
+
+    # -----------------------------------------------------------------
+    # golden-parquet oracles: the pure-Python single-node oracle's output
+    # (materialized by wordscape_spark.golden without Spark) pinned with
+    # plain SQL — gives the classifier surface and the pandas-UDF model
+    # operators real rows+schema+hash driver checks
+    # -----------------------------------------------------------------
+
+    oracles["a_clean_urls"] = """
+    SELECT doc_id,
+           'https://inner.example.com/' || source || '/' ||
+           CAST(doc_id AS VARCHAR) || '.docx' AS clean_url
+    FROM documents
+    """
+
+    oracles["extract_spans"] = f"""
+    SELECT doc_id, CAST("offset" AS INT) AS "offset", kind, text, media_ref,
+           CAST(page AS INT) AS page
+    FROM read_parquet('{gold}/spans.parquet')
+    """
+
+    oracles["extract_entity_counts"] = f"""
+    SELECT kind, CAST(sum(n) AS BIGINT) AS total
+    FROM read_parquet('{gold}/counts.parquet') GROUP BY kind
+    """
+
+    oracles["extract_quality"] = f"""
+    SELECT doc_id, round(quality, 6) AS quality
+    FROM read_parquet('{gold}/doc_meta.parquet')
+    """
+
+    _wide_kinds = [f"heading_{i}" for i in range(1, 10)] + [
+        "title", "table", "figure", "list"
+    ]
+    _wide_aggs = ",\n      ".join(
+        f"CAST(sum(CASE WHEN kind = '{k}' THEN n ELSE 0 END) AS BIGINT) "
+        f"AS num_{k}" for k in _wide_kinds
+    )
+    _wide_cols = ",\n      ".join(
+        f"coalesce(c.num_{k}, CAST(0 AS BIGINT)) AS num_{k}"
+        for k in _wide_kinds
+    )
+    oracles["doc_meta_wide"] = f"""
+    WITH c AS (
+      SELECT doc_id, {_wide_aggs}
+      FROM read_parquet('{gold}/counts.parquet') GROUP BY doc_id
+    )
+    SELECT m.doc_id AS doc_id, round(m.quality, 6) AS quality,
+      CAST(m.num_chars AS BIGINT) AS num_chars,
+      {_wide_cols}
+    FROM read_parquet('{gold}/doc_meta.parquet') m LEFT JOIN c USING (doc_id)
+    """
+
+    oracles["page_filter"] = f"""
+    WITH tot AS (
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS total,
+             CAST(sum(CASE WHEN kind LIKE 'heading_%' OR kind = 'title'
+                      THEN n ELSE 0 END) AS BIGINT) AS heads
+      FROM read_parquet('{gold}/counts.parquet') GROUP BY doc_id
+    )
+    SELECT m.doc_id AS doc_id, CAST(m.num_words AS BIGINT) AS num_words
+    FROM read_parquet('{gold}/doc_meta.parquet') m JOIN tot USING (doc_id)
+    WHERE m.num_words > 0 AND tot.total > 0 AND tot.total - tot.heads > 0
+    """
+
+    oracles["span_dedup"] = f"""
+    WITH h AS (
+      SELECT kind, sha256(doc_id || kind || coalesce(text, '') ||
+                          coalesce(media_ref, '')) AS span_hash
+      FROM read_parquet('{gold}/spans.parquet')
+    )
+    SELECT kind, CAST(count(DISTINCT span_hash) AS BIGINT) AS n_unique
+    FROM h GROUP BY kind
+    """
+
+    oracles["shape_remap_counts"] = f"""
+    WITH s AS (
+      SELECT CASE WHEN kind LIKE 'heading_%' THEN 'heading' ELSE kind END
+             AS kind
+      FROM read_parquet('{gold}/spans.parquet')
+    )
+    SELECT kind, CAST(count(*) AS BIGINT) AS n FROM s
+    GROUP BY kind HAVING count(*) >= 20
+    """
+
+    oracles["maldoc_gate"] = f"""
+    SELECT malicious, CAST(count(*) AS BIGINT) AS n
+    FROM read_parquet('{gold}/maldoc.parquet') GROUP BY malicious
+    """
+
+    _alnum = T.alnum_prop_expr("d.text", "duckdb")
+    oracles["whitelist_perplexity"] = f"""
+    WITH scored AS (
+      SELECT d.doc_id AS doc_id, d.lang AS lang, g.perplexity AS perplexity,
+             {_alnum} AS quality
+      FROM documents d
+      JOIN read_parquet('{gold}/perplexity.parquet') g USING (doc_id)
+    ),
+    th AS (
+      SELECT lang,
+             round(quantile_cont(quality, 0.5), 6) AS q_median,
+             round(quantile_cont(perplexity, 0.8), 6) AS ppl_p80
+      FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id AS doc_id, s.lang AS lang, s.perplexity AS perplexity
+    FROM scored s JOIN th USING (lang)
+    WHERE s.quality >= th.q_median AND s.perplexity <= th.ppl_p80
+      AND s.lang != 'unknown'
+    """
+
+    oracles["langid_trigram"] = f"""
+    SELECT doc_id, top_lang, top_lang_score
+    FROM read_parquet('{gold}/langid3.parquet')
+    """
+
+    oracles["media_features"] = f"""
+    SELECT doc_id, media_ref, CAST(n_bytes AS BIGINT) AS n_bytes,
+           byte_mean, phash
+    FROM read_parquet('{gold}/media_features.parquet')
+    """
+
+    oracles["ann_lsh_topk"] = f"""
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           cos, CAST(rank AS INT) AS rank
+    FROM read_parquet('{gold}/ann_lsh.parquet')
+    """
+
+    oracles["ann_lsh_recall"] = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec
+      FROM embeddings WHERE vec_id % 97 = 0
+    ),
+    s AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qvec::DOUBLE[],
+                                          e.embedding::DOUBLE[]), 4) AS cos
+      FROM embeddings e, q WHERE e.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+      ) AS rank FROM s
+    ),
+    brute AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+    lsh AS (
+      SELECT query_id, neighbor_id
+      FROM read_parquet('{gold}/ann_lsh.parquet')
+    )
+    SELECT CAST(round(count(l.neighbor_id) * 1.0 / count(*), 4) AS DOUBLE)
+             AS recall,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM brute b LEFT JOIN lsh l
+      ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+    """
+
+    _pg_words = T.metrics_exprs("p.page_text", "duckdb")["num_words"]
+    _page_counts_cte = f"""
+    pc AS (
+      SELECT doc_id, page, CAST(sum(n) AS BIGINT) AS tot,
+             CAST(sum(CASE WHEN kind LIKE 'heading_%' THEN n ELSE 0 END)
+                  AS BIGINT) AS heads
+      FROM read_parquet('{gold}/page_counts.parquet') GROUP BY doc_id, page
+    ),
+    feat AS (
+      SELECT p.doc_id AS doc_id, CAST(p.page AS INT) AS page_number,
+             p.page_text AS page_text, p.top_lang_score AS page_lang_score,
+             {_pg_words} AS num_words,
+             coalesce(pc.tot, CAST(0 AS BIGINT)) AS n_entities,
+             coalesce(pc.heads, CAST(0 AS BIGINT)) AS n_heading
+      FROM read_parquet('{gold}/pages.parquet') p
+      LEFT JOIN pc ON p.doc_id = pc.doc_id AND p.page = pc.page
+    )
+    """
+
+    oracles["page_meta"] = f"""
+    WITH {_page_counts_cte}
+    SELECT doc_id, page_number, page_text, num_words, n_entities, n_heading
+    FROM feat
+    """
+
+    _ppl_doc = FL.pseudo_perplexity_expr("m.text", "duckdb")
+    _page_whitelist_sql = f"""
+    WITH {_page_counts_cte},
+    docs AS (
+      SELECT m.doc_id AS doc_id, m.quality AS quality,
+             m.top_lang AS top_lang, {_ppl_doc} AS ppl
+      FROM read_parquet('{gold}/doc_meta.parquet') m
+    ),
+    med AS (SELECT round(quantile_cont(quality, 0.5), 6) AS q_med FROM docs),
+    th AS (
+      SELECT top_lang, round(quantile_cont(ppl, 0.8), 6) AS ppl_p80
+      FROM docs GROUP BY top_lang
+    ),
+    keep AS (
+      SELECT d.doc_id FROM docs d
+      CROSS JOIN med JOIN th ON d.top_lang = th.top_lang
+      WHERE d.quality >= med.q_med AND d.ppl <= th.ppl_p80
+        AND d.top_lang != '__label__unknown'
+    ),
+    wl AS (
+      SELECT f.doc_id AS doc_id, f.page_number AS page_number
+      FROM feat f JOIN keep ON f.doc_id = keep.doc_id
+      WHERE f.num_words > 0 AND f.n_entities > 0
+        AND NOT (f.n_heading > 0 AND f.n_entities - f.n_heading = 0)
+        AND f.page_lang_score > {FL.LANG_PRED_THRESHOLD}
+    )
+    """
+
+    oracles["page_whitelist"] = (
+        _page_whitelist_sql + "SELECT doc_id, page_number FROM wl"
+    )
+
+    oracles["page_semi_join"] = _page_whitelist_sql + """
+    , members AS (
+      SELECT doc_id, page_number FROM feat
+      INTERSECT
+      SELECT doc_id, page_number FROM feat WHERE length(page_text) > 0
+      INTERSECT
+      SELECT doc_id, page_number FROM feat WHERE n_entities > 0
+      INTERSECT
+      SELECT doc_id, page_number FROM feat WHERE num_words > 0
+    )
+    SELECT m.doc_id AS doc_id, m.page_number AS page_number
+    FROM members m JOIN wl ON m.doc_id = wl.doc_id
+                          AND m.page_number = wl.page_number
+    """
+
+    oracles["doc_core_props"] = f"""
+    WITH raw AS (
+      SELECT doc_id, u.kind AS kind, u.text AS v
+      FROM (SELECT doc_id, unnest(spans) AS u FROM read_parquet('{ipath}'))
+      WHERE u.kind LIKE 'meta;%'
+    ),
+    kv AS (SELECT doc_id, substr(kind, 8) AS k, v FROM raw),
+    ok AS (SELECT doc_id FROM read_parquet('{gold}/doc_meta.parquet'))
+    SELECT o.doc_id AS doc_id,
+      max(CASE WHEN k = 'core_created' THEN v END) AS core_created,
+      max(CASE WHEN k = 'core_modified' THEN v END) AS core_modified,
+      max(CASE WHEN k = 'core_title' THEN v END) AS core_title,
+      coalesce(
+        string_agg(DISTINCT v, ',' ORDER BY v)
+          FILTER (WHERE k = 'lang_tag'),
+        ''
+      ) AS languages_autocorrect
+    FROM ok o LEFT JOIN kv ON o.doc_id = kv.doc_id
+    GROUP BY o.doc_id
     """
 
     oracles["embed_near_dup"] = """
@@ -861,4 +1172,9 @@ QUERIES = {
     "dedup_pipeline": q_dedup_pipeline,
     "token_budget": q_token_budget,
     "doc_meta_wide": q_doc_meta_wide,
+    "ann_lsh_recall": q_ann_lsh_recall,
+    "page_meta": q_page_meta,
+    "page_whitelist": q_page_whitelist,
+    "page_semi_join": q_page_semi_join,
+    "doc_core_props": q_doc_core_props,
 }
