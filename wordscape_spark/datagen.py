@@ -27,7 +27,7 @@ from wordscape_spark import signal as sig
 BASE_DIR = pathlib.Path("/root/repo/data/interleaved")
 # bump when the generator's output changes: the interleaved table is cached
 # on disk per (version, sf), and goldens/oracles key off the same version
-DATAGEN_VERSION = 2
+DATAGEN_VERSION = 3
 
 # synthetic language vocabularies (stopword-bearing so language ID has signal)
 VOCAB = {
@@ -72,6 +72,9 @@ class _Doc:
         self.spans: list[tuple[str, str, str | None]] = []
         self.par = 0
         self.tbl = 0
+        self.hp = 0
+        self.fp = 0
+        self.xp = 0
 
     def add(self, kind: str, text: str, media_ref: str | None = None) -> None:
         self.spans.append((kind, text, media_ref))
@@ -270,10 +273,13 @@ def _gen_table_media_doc(doc: _Doc, rng: random.Random, lang: str) -> None:
 
 
 def _gen_stream_doc(doc: _Doc, rng: random.Random, lang: str) -> None:
-    doc.add(f"hp;p=0", _sentence(rng, lang, 5))
-    doc.add(f"fp;p=0", f"page {rng.randint(1, 30)}")
+    doc.add(f"hp;p={doc.hp}", _sentence(rng, lang, 5))
+    doc.hp += 1
+    doc.add(f"fp;p={doc.fp}", f"page {rng.randint(1, 30)}")
+    doc.fp += 1
     doc.body_par(_sentence(rng, lang, 35), style="normal")
-    doc.add(f"xp;p=0", _sentence(rng, lang, 8))
+    doc.add(f"xp;p={doc.xp}", _sentence(rng, lang, 8))
+    doc.xp += 1
     doc.add(sig.encode_sdt("Table of Contents"), _sentence(rng, lang, 6))
     doc.add(sig.encode_sdt("bibliography"), _sentence(rng, lang, 10))
     doc.body_par(_sentence(rng, lang, 25), style="normal")

@@ -391,6 +391,20 @@ def q_page_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FL.apply_page_whitelist(extracted)
 
 
+def q_docx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star input path: raw OOXML/.docx byte streams → zip +
+    document.xml walk (operators/docx.py) → span grammar → classifier.
+    The binary table is rendered deterministically from the interleaved
+    table by docxgen (independent code), so the golden text pins the whole
+    parse→classify chain."""
+    from wordscape_spark import docxgen
+    from wordscape_spark.operators import docx as DX
+
+    path = docxgen.ensure_docx(datagen.sf_from_dir(sf_dir))
+    spans = DX.docx_to_spans(spark.read.parquet(path))
+    return X.extract(spans).filter("ok").select("doc_id", "text")
+
+
 def q_doc_core_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D12: core properties + w:lang distinct tags (oxml_metadata.py:33-58).
     Oracle: direct SQL over the interleaved meta spans (independent of the
@@ -1103,6 +1117,10 @@ def build_oracle_sql() -> dict[str, str]:
                           AND m.page_number = wl.page_number
     """
 
+    oracles["docx_ingest"] = f"""
+    SELECT doc_id, text FROM read_parquet('{gold}/doc_meta.parquet')
+    """
+
     oracles["doc_core_props"] = f"""
     WITH raw AS (
       SELECT doc_id, u.kind AS kind, u.text AS v
@@ -1177,4 +1195,5 @@ QUERIES = {
     "page_whitelist": q_page_whitelist,
     "page_semi_join": q_page_semi_join,
     "doc_core_props": q_doc_core_props,
+    "docx_ingest": q_docx_ingest,
 }
