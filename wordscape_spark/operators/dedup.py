@@ -190,38 +190,43 @@ SIMHASH_BITS = 60  # stay within positive int64
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """60-bit SimHash over whitespace tokens (token weight = occurrences).
 
-    Array-expression formulation (no explode): per bit, sum over distinct
-    tokens of count·(±1) from the token hash's bit.
+    Array-expression formulation (no explode), LINEAR in tokens: the token
+    hashes are materialized once (`hs` column), then each bit sums ±1 per
+    occurrence — Σ_{occurrences} ±1 ≡ Σ_{distinct} count·(±1), without the
+    per-distinct-token array rescans (which were O(60·distinct·n): a
+    100k-token doc cost ~10^10 comparisons).
     """
     toks = tokens_expr(text_col, "spark")
     h = _hash64_spark("t")
-    # aggregate over distinct tokens with their counts
+    hs = f"transform({toks}, t -> {h})"
     bit_sums = (
         f"transform(sequence(0, {SIMHASH_BITS - 1}), b -> "
-        f"aggregate(array_distinct({toks}), 0L, (acc, t) -> acc + "
-        f"size(filter({toks}, x -> x = t)) * "
-        f"(CASE WHEN (shiftright({h}, b) & 1) = 1 THEN 1 ELSE -1 END)))"
+        f"aggregate(hs, 0L, (acc, v) -> acc + "
+        f"(CASE WHEN (shiftright(v, b) & 1) = 1 THEN 1 ELSE -1 END)))"
     )
     sim = (
         f"aggregate(zip_with({bit_sums}, sequence(0, {SIMHASH_BITS - 1}), "
         f"(s, b) -> CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) "
         f"ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
-    return df.select(
-        F.col(id_col).cast("string").alias("doc_id"),
-        F.expr(sim).alias("simhash"),
+    return (
+        df.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.expr(hs).alias("hs"),
+        )
+        .select("doc_id", F.expr(sim).alias("simhash"))
     )
 
 
 def simhash_expr_duck(text_col: str) -> str:
-    """DuckDB twin of ``simhash`` (oracle use)."""
+    """DuckDB twin of ``simhash`` (oracle use) — same linear form."""
     toks = tokens_expr(text_col, "duckdb")
     h = _hash64_duck("t")
+    hs = f"list_transform({toks}, t -> {h})"
     bit_sums = (
         f"list_transform(range(0, {SIMHASH_BITS}), b -> "
-        f"list_sum(list_transform(list_distinct({toks}), t -> "
-        f"len(list_filter({toks}, x -> x = t)) * "
-        f"(CASE WHEN (({h} >> b) & 1) = 1 THEN 1 ELSE -1 END))))"
+        f"list_sum(list_transform({hs}, v -> "
+        f"CASE WHEN ((v >> b) & 1) = 1 THEN 1 ELSE -1 END)))"
     )
     return (
         f"CAST(list_sum(list_transform(list_zip({bit_sums}, "
@@ -239,10 +244,14 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
 
     cluster_id = the smallest doc_id reachable through duplicate edges
     (min-label propagation, a.k.a. hash-to-min).  Each iteration is one
-    self-join + aggregate; converges in O(log(diameter)) rounds — duplicate
+    self-join + aggregate, converging in O(diameter) rounds — duplicate
     clusters are tiny in practice, so 2-3 rounds.  The loop runs on the
     driver but all data stays distributed (no collect); iteration count is
     checked with a single count() per round on an aggregated (small) frame.
+
+    Raises RuntimeError when the label propagation has not converged after
+    ``max_iterations`` (a duplicate chain longer than the budget) rather
+    than silently returning split clusters.
     """
     edges = (
         pairs.selectExpr("doc_a AS a", "doc_b AS b")
@@ -257,6 +266,7 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .withColumn("cluster_id", F.col("doc_id"))
         .persist()
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["doc_id"])
@@ -286,6 +296,12 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iterations} "
+            "iterations — raise max_iterations (a duplicate chain longer "
+            "than the budget exists)"
+        )
     return labels
 
 

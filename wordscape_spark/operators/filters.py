@@ -21,6 +21,24 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
+PERCENTILE_ACCURACY = 100_000
+
+
+def percentile_expr(col: str, p: float, dialect: str) -> str:
+    """Discrete percentile, 6dp-rounded, identical in both engines.
+
+    Spark side is ``percentile_approx`` (GK sketch): exact whenever the
+    group holds fewer than PERCENTILE_ACCURACY values — verified bit-equal
+    to DuckDB ``quantile_disc`` at test scale — and bounded-memory at
+    10^12 rows, where Spark's exact ``percentile()`` would buffer every
+    value of the group in executor memory (OOM at scale).  Error bound at
+    scale: 1/accuracy in quantile rank.
+    """
+    if dialect == "spark":
+        return f"round(percentile_approx({col}, {p}, {PERCENTILE_ACCURACY}), 6)"
+    return f"round(quantile_disc({col}, {p}), 6)"
+
+
 def pseudo_perplexity_expr(col: str, dialect: str) -> str:
     if dialect == "spark":
         ntok = f"size(split(trim({col}), '\\\\s+'))"
@@ -42,8 +60,8 @@ def doc_whitelist(
     """E7: keep docs with quality ≥ per-language median AND pseudo-perplexity
     ≤ per-language 80th percentile (and known language)."""
     thresholds = df.groupBy(lang_col).agg(
-        F.expr(f"round(percentile({quality_col}, 0.5), 6)").alias("q_median"),
-        F.expr(f"round(percentile({ppl_col}, 0.8), 6)").alias("ppl_p80"),
+        F.expr(percentile_expr(quality_col, 0.5, "spark")).alias("q_median"),
+        F.expr(percentile_expr(ppl_col, 0.8, "spark")).alias("ppl_p80"),
     )
     out = (
         df.join(F.broadcast(thresholds), lang_col)
@@ -130,10 +148,10 @@ def whitelist_pages(
     )
     docs = with_trigram_langid(docs)  # doc-level language (trigram model)
     med = docs.agg(
-        F.expr("round(percentile(quality, 0.5), 6)").alias("q_med")
+        F.expr(percentile_expr("quality", 0.5, "spark")).alias("q_med")
     )
     th = docs.groupBy("top_lang").agg(
-        F.expr("round(percentile(ppl, 0.8), 6)").alias("ppl_p80")
+        F.expr(percentile_expr("ppl", 0.8, "spark")).alias("ppl_p80")
     )
     keep_docs = (
         docs.crossJoin(F.broadcast(med))

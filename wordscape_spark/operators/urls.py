@@ -35,23 +35,63 @@ def dedup_by(df: DataFrame, *cols: str) -> DataFrame:
 
 
 def assign_doc_ids(df: DataFrame, source_col: str = "source",
-                   order_col: str = "url_hash") -> DataFrame:
+                   order_col: str = "url_hash",
+                   scalable: bool = False) -> DataFrame:
     """A10: per-source running index, zero-padded (preprocess_cc_urls.py:128-131).
 
-    Window over source partitions — sources are few and large, but the window
-    only carries (source, url_hash): acceptable shuffle.  At 10^12 rows use
-    monotonically-increasing ids per partition instead (documented tradeoff).
+    ``scalable=False``: one window per source — correct but each source
+    funnels through a single reducer (fine while sources are shard-sized).
+
+    ``scalable=True`` (the 10^12-row path): the hex ``order_col`` is range-
+    bucketed by its first two characters, row numbers are computed per
+    (source, bucket) — 256× the reducer parallelism — and converted to the
+    identical global rank by adding per-bucket offsets (a tiny count
+    aggregate, cumulated over the 256-row-per-source frame and broadcast
+    back).  Output is equal to the window variant because the bucket is a
+    prefix of the ordering key, so (bucket, key) order == key order;
+    equality is pinned by a test.
     """
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(source_col).orderBy(order_col)
-    return df.withColumn(
-        "assigned_doc_id",
-        F.concat_ws(
-            "-",
-            F.col(source_col),
-            F.lpad(F.row_number().over(w).cast("string"), 9, "0"),
-        ),
+    if not scalable:
+        w = Window.partitionBy(source_col).orderBy(order_col)
+        return df.withColumn(
+            "assigned_doc_id",
+            F.concat_ws(
+                "-",
+                F.col(source_col),
+                F.lpad(F.row_number().over(w).cast("string"), 9, "0"),
+            ),
+        )
+
+    bucket = F.substring(F.col(order_col), 1, 2)
+    df = df.withColumn("_bkt", bucket)
+    counts = df.groupBy(source_col, "_bkt").agg(F.count("*").alias("_n"))
+    w_off = (
+        Window.partitionBy(source_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).drop("_n")
+    w_local = Window.partitionBy(source_col, "_bkt").orderBy(order_col)
+    return (
+        df.join(F.broadcast(offsets), [source_col, "_bkt"])
+        .withColumn(
+            "assigned_doc_id",
+            F.concat_ws(
+                "-",
+                F.col(source_col),
+                F.lpad(
+                    (F.row_number().over(w_local) + F.col("_off"))
+                    .cast("string"),
+                    9,
+                    "0",
+                ),
+            ),
+        )
+        .drop("_bkt", "_off")
     )
 
 

@@ -48,15 +48,28 @@ def _interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # several driver queries project different views of the same extraction —
-# memoize the classified frame per (session, sf) so the correctness gate
-# doesn't re-run the classifier 8×
-_EXTRACT_CACHE: dict[tuple[int, str], DataFrame] = {}
+# memoize the classified frame per (application, sf) so the correctness gate
+# doesn't re-run the classifier per query.  Keyed on applicationId (stable,
+# unlike id(spark) which a GC'd session can recycle); bounded with an
+# unpersist-on-evict so a long-lived session never accumulates pins.
+_EXTRACT_CACHE: dict[tuple[str, str], DataFrame] = {}
+_EXTRACT_CACHE_MAX = 4
 
 
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), datagen.sf_from_dir(sf_dir).__repr__())
+    key = (
+        spark.sparkContext.applicationId,
+        datagen.sf_from_dir(sf_dir).__repr__(),
+    )
     cached = _EXTRACT_CACHE.get(key)
     if cached is None:
+        while len(_EXTRACT_CACHE) >= _EXTRACT_CACHE_MAX:
+            _old_key = next(iter(_EXTRACT_CACHE))
+            old = _EXTRACT_CACHE.pop(_old_key)
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001 — session may be gone
+                pass
         cached = X.extract(_interleaved(spark, sf_dir)).persist()
         _EXTRACT_CACHE[key] = cached
     return cached
@@ -807,8 +820,9 @@ def build_oracle_sql() -> dict[str, str]:
     ),
     th AS (
       SELECT lang,
-             round(quantile_cont(quality, 0.5), 6) AS q_median,
-             round(quantile_cont(pseudo_perplexity, 0.8), 6) AS ppl_p80
+             {FL.percentile_expr('quality', 0.5, 'duckdb')} AS q_median,
+             {FL.percentile_expr('pseudo_perplexity', 0.8, 'duckdb')}
+               AS ppl_p80
       FROM scored GROUP BY lang
     )
     SELECT s.doc_id AS doc_id, s.lang AS lang, s.quality AS quality,
@@ -989,8 +1003,8 @@ def build_oracle_sql() -> dict[str, str]:
     ),
     th AS (
       SELECT lang,
-             round(quantile_cont(quality, 0.5), 6) AS q_median,
-             round(quantile_cont(perplexity, 0.8), 6) AS ppl_p80
+             {FL.percentile_expr('quality', 0.5, 'duckdb')} AS q_median,
+             {FL.percentile_expr('perplexity', 0.8, 'duckdb')} AS ppl_p80
       FROM scored GROUP BY lang
     )
     SELECT s.doc_id AS doc_id, s.lang AS lang, s.perplexity AS perplexity
@@ -1078,9 +1092,10 @@ def build_oracle_sql() -> dict[str, str]:
              m.top_lang AS top_lang, {_ppl_doc} AS ppl
       FROM read_parquet('{gold}/doc_meta.parquet') m
     ),
-    med AS (SELECT round(quantile_cont(quality, 0.5), 6) AS q_med FROM docs),
+    med AS (SELECT {FL.percentile_expr('quality', 0.5, 'duckdb')} AS q_med
+            FROM docs),
     th AS (
-      SELECT top_lang, round(quantile_cont(ppl, 0.8), 6) AS ppl_p80
+      SELECT top_lang, {FL.percentile_expr('ppl', 0.8, 'duckdb')} AS ppl_p80
       FROM docs GROUP BY top_lang
     ),
     keep AS (

@@ -79,9 +79,13 @@ def stream_dedup_extract(
     extracted = docs.select("doc_id", "spans").mapInPandas(
         X._make_classify_fn(cfg), schema=X.EXTRACTED_SCHEMA
     )
-    deduped = extracted.withColumn(
-        "bytehash", F.sha2(F.col("text"), 256)
-    ).dropDuplicates(["bytehash"])
+    # dedup only accepted docs: every reject has text='' and would otherwise
+    # collapse onto sha256('') — the first reject would shadow all later ones.
+    # Rejects pass through unconditionally (they are the audit side-output).
+    hashed = extracted.withColumn("bytehash", F.sha2(F.col("text"), 256))
+    deduped = hashed.filter("ok").dropDuplicates(["bytehash"]).unionByName(
+        hashed.filter("NOT ok")
+    )
     writer = (
         deduped.writeStream.format("parquet")
         .option("path", output_dir)
