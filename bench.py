@@ -52,6 +52,10 @@ def run_bench() -> dict:
 
     docs = spark.read.parquet(interleaved)
     n_docs = docs.count()
+    # corpus weight: spans are the unit of classification work (datagen v3
+    # docs carry ~1.5x the spans of round-1 docs — multi-page sections,
+    # nested tables, metadata), so docs/s alone is not round-comparable
+    n_spans = docs.selectExpr("sum(size(spans)) AS n").collect()[0]["n"]
 
     # warmup: spawn python workers / JIT codegen before any timed query
     _noop_write(X.extract(docs.limit(512)))
@@ -116,29 +120,39 @@ def run_bench() -> dict:
         "queries": timings,
         "sf": sf,
         "n_docs": n_docs,
+        "n_spans": int(n_spans),
         "docs_per_sec": round(n_docs / timings["extract"], 2),
+        "spans_per_sec": round(n_spans / timings["extract"], 2),
         "cpus": int(CPUS),
     }
 
 
 def run_scaling() -> None:
-    """Same extraction job at local[8] vs local[32]; writes BENCH/BASELINE.md.
+    """Same extraction job at N vs 4N pinned cores; writes BENCH/BASELINE.md.
 
-    Each run is pinned to exactly that many CPUs with taskset — otherwise the
-    "8-core" JVM/Python workers spill onto the idle 24 cores and the N-run
-    throughput is inflated, understating true N→4N scaling.
+    Protocol (median-of-paired-ratios):
+    * each run is pinned with taskset to exactly that many CPUs — otherwise
+      the "4-core" JVM/Python workers spill onto idle cores and the N-run
+      throughput is inflated, understating true N→4N scaling;
+    * trials are interleaved PAIRS (lo, hi, lo, hi, ...): host drift (page
+      cache, thermal, background load) hits both sides of a pair equally,
+      so per-pair efficiency is robust where independent best-of runs are
+      not;
+    * the first pair is a cache/JIT warmup and is excluded; the reported
+      number is the MEDIAN efficiency over the remaining pairs, with every
+      per-pair value disclosed.
     """
     # a larger input than the per-round bench: at sf0.1 (20k docs) fixed
-    # session/stage costs are ~60% of the 32-core wall and the measurement
+    # session/stage costs dominate the high-core wall and the measurement
     # reflects startup, not scaling; sf0.8 (160k docs) is compute-dominated.
-    scaling_sf_dir = os.environ.get("SPARK_GRAFT_SCALING_SF_DIR", "/root/testdata/sf0.8")
-    pairs = [
-        tuple(int(c) for c in p.split(":"))
-        for p in os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "4:16,8:32").split(",")
-    ]
-    all_cores = sorted({c for p in pairs for c in p})
-
-    trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
+    scaling_sf_dir = os.environ.get(
+        "SPARK_GRAFT_SCALING_SF_DIR", "/root/testdata/sf0.8"
+    )
+    lo, hi = (
+        int(c)
+        for c in os.environ.get("SPARK_GRAFT_SCALING_PAIR", "4:16").split(":")
+    )
+    n_pairs = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "6"))
 
     def measure(cores: int) -> dict:
         env = dict(os.environ)
@@ -147,34 +161,38 @@ def run_scaling() -> None:
         cmd = [sys.executable, __file__, "--extract-only"]
         if shutil_which("taskset"):
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-        best = None
-        for _ in range(trials):  # independent JVMs: host noise dominates
-            out = subprocess.run(
-                cmd, capture_output=True, text=True, env=env, cwd=REPO,
-            )
-            r = json.loads(out.stdout.strip().splitlines()[-1])
-            if best is None or r["queries"]["extract"] < best["queries"]["extract"]:
-                best = r
-        return best
-
-    results = {c: measure(c) for c in all_cores}
-    n = results[all_cores[0]]["n_docs"]
-
-    rows = []
-    effs = {}
-    for lo, hi in pairs:
-        tl, th = results[lo]["queries"]["extract"], results[hi]["queries"]["extract"]
-        thr_l, thr_h = n / tl, n / th
-        eff = (thr_h / thr_l) / (hi / lo)
-        effs[f"{lo}->{hi}"] = round(eff, 3)
-        rows.append(
-            f"| local[{lo}] → local[{hi}] | {tl:.2f} → {th:.2f} "
-            f"| {thr_l:.1f} → {thr_h:.1f} | **{eff:.3f}** |"
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, env=env, cwd=REPO,
         )
-    per_core_rows = "\n".join(
-        f"| local[{c}] | {results[c]['queries']['extract']:.2f} "
-        f"| {n / results[c]['queries']['extract']:.1f} |"
-        for c in all_cores
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    pair_rows = []
+    effs = []
+    n = None
+    for trial in range(n_pairs):
+        r_lo = measure(lo)
+        r_hi = measure(hi)
+        n = r_lo["n_docs"]
+        tl, th = r_lo["queries"]["extract"], r_hi["queries"]["extract"]
+        eff = ((n / th) / (n / tl)) / (hi / lo)
+        effs.append(eff)
+        pair_rows.append(
+            f"| {trial + 1}{' (warmup, excluded)' if trial == 0 else ''} "
+            f"| {tl:.2f} | {th:.2f} | {n / tl:.1f} → {n / th:.1f} "
+            f"| {eff:.3f} |"
+        )
+        print(
+            json.dumps({"pair": trial + 1, "lo_s": tl, "hi_s": th,
+                        "eff": round(eff, 3)}),
+            flush=True,
+        )
+
+    counted = sorted(effs[1:]) if len(effs) > 1 else sorted(effs)
+    mid = len(counted) // 2
+    median = (
+        counted[mid]
+        if len(counted) % 2
+        else (counted[mid - 1] + counted[mid]) / 2
     )
 
     bench_dir = REPO / "BENCH"
@@ -184,26 +202,30 @@ def run_scaling() -> None:
 
 Same extraction job (`operators.extract.extract` over the deterministic
 interleaved table at {scaling_sf_dir.rsplit('/', 1)[-1]}, {n} docs) run at
-multiple parallelism levels on identical input, each run pinned with
-taskset to exactly that many CPUs — the sandbox proxy for N vs 4N executors
-(BASELINE.json north_rule).  Wall time is the steady-state (post-warmup)
-run.  The machine has 32 physical cores; the 8→32 pair saturates the whole
-box (shared memory bandwidth + JVM service threads + frequency droop), so
-the dedicated-cores 4→16 pair is the cleaner analog of adding executors to
-a cluster; both are reported.
+local[{lo}] vs local[{hi}], each run pinned with taskset to exactly that
+many CPUs — the sandbox proxy for N vs 4N executors (BASELINE.json
+north_rule).  Trials are interleaved pairs so host drift hits both sides
+equally; pair 1 warms the page cache/JIT and is excluded; the headline is
+the **median per-pair efficiency** over the remaining {len(counted)} pairs.
 
-| parallelism | wall (s) | docs/s |
-|---|---|---|
-{per_core_rows}
+| pair | local[{lo}] wall (s) | local[{hi}] wall (s) | docs/s | efficiency |
+|---|---|---|---|---|
+{chr(10).join(pair_rows)}
 
-| N → 4N pair | wall | docs/s | scaling efficiency |
-|---|---|---|---|
-{chr(10).join(rows)}
-
-Target ≥ 0.8 per BASELINE.json.
+**Median efficiency ({lo}→{hi}): {median:.3f}**  (target ≥ 0.8,
+BASELINE.json).  All per-pair values: {[round(e, 3) for e in effs]}.
 """
     )
-    print(json.dumps({"n_docs": n, "efficiency": effs}))
+    print(
+        json.dumps(
+            {
+                "n_docs": n,
+                "pair": f"{lo}->{hi}",
+                "median_efficiency": round(median, 3),
+                "all": [round(e, 3) for e in effs],
+            }
+        )
+    )
 
 
 def run_extract_only() -> dict:
@@ -221,12 +243,14 @@ def run_extract_only() -> dict:
     docs = spark.read.parquet(interleaved)
     n_docs = docs.count()
     extracted = X.extract(docs)
-    _noop_write(extracted)  # warmup: python workers spawn + code paths JIT
-    secs = None
-    for _ in range(2):  # best-of-2 steady-state runs (host-noise robustness)
-        t0 = time.monotonic()
-        _noop_write(extracted)
-        secs = min(secs or 1e9, round(time.monotonic() - t0, 3))
+    # FULL-pass warmup: python workers spawn + JVM C2 JIT + page cache.  A
+    # short warmup systematically understates high-core efficiency (JIT
+    # warmup is a fixed cost, a larger fraction of the shorter high-core
+    # wall); the steady-state run is what a long-lived cluster job sees.
+    _noop_write(extracted)
+    t0 = time.monotonic()
+    _noop_write(extracted)
+    secs = round(time.monotonic() - t0, 3)
     spark.stop()
     return {
         "metric": "extract",

@@ -10,7 +10,7 @@ import pytest
 
 from wordscape_spark import signal as sig
 from wordscape_spark import taxonomy as tax
-from wordscape_spark.config import ExtractConfig
+from wordscape_spark.config import DEFAULT_CONFIG, ExtractConfig
 from wordscape_spark.core import classify as C
 
 CFG = ExtractConfig(min_text_chars=0)
@@ -448,3 +448,62 @@ def test_text_metrics():
     assert m["num_alphnum_chars"] == 6
     assert m["alnum_prop"] == pytest.approx(6 / 9)
     assert m["alph_to_num_ratio"] == pytest.approx(2.0)
+
+
+def test_nested_table_hand_oracle():
+    """Nested table (pt field): classified as its own table with its own
+    structural counts, excluded from document text (ref: recursion in
+    table_colorization_handler.py:165-178; _Cell.text covers only the
+    cell's paragraphs)."""
+    spans = [
+        (sig.encode_run(0, "normal", par_size=11.0), "x" * 250, None, 0),
+        # parent table: 2 rows x 2 cols, header row
+        (sig.encode_cell(0, 0, 0, header=True), "h1", None, 1),
+        (sig.encode_cell(0, 0, 1, header=True), "h2", None, 2),
+        (sig.encode_cell(0, 1, 0, header=False), "a", None, 3),
+        (sig.encode_cell(0, 1, 1, header=False), "b", None, 4),
+        # nested table hoisted after parent: 1 row x 2 cols inside table 0
+        (sig.encode_cell(1, 0, 0, header=False, parent=0), "n1", None, 5),
+        (sig.encode_cell(1, 0, 1, header=False, parent=0), "n2", None, 6),
+    ]
+    res = C.classify_document(spans, DEFAULT_CONFIG)
+    assert res.ok
+    # hand-computed counts: 2 tables, parent contributes 1 header row +
+    # 1 body row + 2 cols + table_header, nested contributes 1 body row +
+    # 2 cols; cells: 2 header cells + 2 + 2 body cells
+    assert res.counts["table"] == 2
+    assert res.counts["table_header"] == 1
+    assert res.counts["table_header_row"] == 1
+    assert res.counts["table_row"] == 2          # parent body row + nested row
+    assert res.counts["table_column"] == 4       # 2 + 2
+    assert res.counts["table_header_cell"] == 2
+    assert res.counts["table_cell"] == 4
+    # nested cells ARE classified spans, in hoisted order
+    kinds = [k for k, _t, _m, _o in res.spans]
+    assert kinds == [
+        "text",
+        "table_header_cell", "table_header_cell", "table_cell", "table_cell",
+        "table_cell", "table_cell",
+    ]
+    # ...but nested text never reaches the document text
+    assert res.text == "x" * 250 + "\nh1\th2\na\tb"
+
+
+def test_page_model_hand_oracle():
+    """Explicit page breaks: spans carry 1-based pages; per-page records
+    cover every physical page including trailing empties."""
+    spans = [
+        (sig.encode_run(0, "normal", par_size=11.0), "x" * 250, None, 0),
+        ("pb", "", None, 1),
+        (sig.encode_run(1, "title", par_size=26.0), "second page title", None, 2),
+        ("fig", "", "media/i.png", 3),
+        ("pb", "", None, 4),  # trailing blank page
+    ]
+    res = C.classify_document(spans, DEFAULT_CONFIG)
+    assert res.ok
+    assert res.span_pages == [1, 2, 2]
+    assert [p for p, _t, _c in res.pages] == [1, 2, 3]
+    assert res.pages[0][1] == "x" * 250
+    assert res.pages[1][1] == "second page title"
+    assert res.pages[2] == (3, "", {})
+    assert res.pages[1][2] == {"title": 1, "figure": 1}

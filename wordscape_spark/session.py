@@ -13,6 +13,16 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _gc_threads(master: str) -> int:
+    """GC thread budget from the local[N] core count (min 2, max 8)."""
+    import re
+
+    m = re.search(r"local\[(\d+)\]", master or "")
+    if not m:
+        return 8
+    return max(2, min(8, int(m.group(1)) // 2))
+
+
 def build_session(
     app_name: str = "wordscape-spark",
     master: str | None = None,
@@ -31,11 +41,13 @@ def build_session(
         # (measured ~20% faster at high concurrency than 2048)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
-        # G1 + capped GC threads: default GC threading scales with machine
-        # cores and competes with the Python workers for CPU
+        # G1 + GC threads scaled to the session's core budget: default GC
+        # threading scales with *machine* cores and competes with the
+        # Python workers for CPU (worst when taskset-pinned to few cores)
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:+UseG1GC -XX:ParallelGCThreads=8",
+            f"-XX:+UseG1GC -XX:ParallelGCThreads={_gc_threads(master)} "
+            f"-XX:ConcGCThreads={max(1, _gc_threads(master) // 2)}",
         )
         # adaptive execution: runtime partition coalescing + skew handling
         .config("spark.sql.adaptive.enabled", "true")
