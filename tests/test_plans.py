@@ -64,7 +64,31 @@ def test_extract_gates_are_native(spark, docs_path):
     docs = spark.read.parquet(docs_path)
     plan = _plan(X.extract(docs))
     assert "size(spans" in plan  # native size() filters
-    assert "FlatMapInPandas" in plan or "MapInPandas" in plan
+    assert (
+        "MapInArrow" in plan        # the hot path (no pandas round-trip)
+        or "FlatMapInPandas" in plan
+        or "MapInPandas" in plan
+    )
+
+
+def test_partitioned_sink_prunes(spark, docs_path, tmp_path):
+    """Partition pruning on a partitioned sink — the parquet stand-in for
+    Iceberg partition-level metadata filtering (no Iceberg runtime jar in
+    this sandbox; on a cluster the same plan property comes from the
+    Iceberg source).  A reader filtering one partition value must scan only
+    that partition (PartitionFilters in the scan node)."""
+    out = str(tmp_path / "part")
+    docs = spark.read.parquet(docs_path)
+    bucketed = docs.withColumn(
+        "bucket", F.expr("pmod(xxhash64(doc_id), 8)")
+    )
+    bucketed.write.partitionBy("bucket").parquet(out)
+    rd = spark.read.parquet(out).filter(F.col("bucket") == 3)
+    plan = _formatted(rd)
+    scan_section = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "bucket" in scan_section
+    # and the filter is NOT a post-scan row filter on the data column
+    assert rd.count() == bucketed.filter("bucket = 3").count()
 
 
 def test_whole_stage_codegen_for_native_ops(spark):
