@@ -243,11 +243,19 @@ def run_extract_only() -> dict:
     docs = spark.read.parquet(interleaved)
     n_docs = docs.count()
     extracted = X.extract(docs)
-    # FULL-pass warmup: python workers spawn + JVM C2 JIT + page cache.  A
-    # short warmup systematically understates high-core efficiency (JIT
-    # warmup is a fixed cost, a larger fraction of the shorter high-core
-    # wall); the steady-state run is what a long-lived cluster job sees.
-    _noop_write(extracted)
+    # Adaptive full-pass warmup to JIT steady state: C2 keeps improving the
+    # parquet-decode/Arrow path for 2-4 full passes (measured 46→40→37→35s
+    # at 16 cores), and a short-warm run systematically understates
+    # high-core efficiency.  Warm until the last pass improves < 5% (max 4
+    # passes) — a long-lived cluster job runs at exactly this steady state.
+    prev = None
+    for _ in range(4):
+        t0 = time.monotonic()
+        _noop_write(extracted)
+        cur = time.monotonic() - t0
+        if prev is not None and cur > prev * 0.95:
+            break
+        prev = cur
     t0 = time.monotonic()
     _noop_write(extracted)
     secs = round(time.monotonic() - t0, 3)
