@@ -57,3 +57,41 @@ def test_lsh_deterministic_across_partitionings(spark, emb):
         for r in SIM.lsh_topk(emb.coalesce(1), queries, k=5).collect()
     )
     assert a == b
+
+
+def test_ivf_recall_floor_and_determinism(spark, emb):
+    """IVF is approximate by design; require recall@5 ≥ 0.6 vs brute force
+    on this corpus (nlist=8, nprobe=3 — measured 0.80), and identical
+    output under a different input partitioning (centroid training reads a
+    sorted sample, so repartitioning must not change results)."""
+    queries = emb.filter("vec_id % 97 = 0")
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(emb, queries, k=5).collect()
+    }
+    out = SIM.ivf_topk(emb, queries, k=5)
+    got = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.6, f"IVF recall@5 too low: {recall}"
+
+    reparted = SIM.ivf_topk(emb.repartition(13), queries, k=5)
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, reparted.collect()))
+    assert a == b
+
+
+def test_ivf_cell_assignment_covers_corpus(spark, emb):
+    """Every vector lands in exactly one cell in [1, nlist]."""
+    cents = SIM.train_ivf_centroids(SIM.sample_for_training(emb))
+    assert len(cents) == SIM.IVF_NLIST
+    cells = SIM.with_ivf_cell(emb, cents)
+    import pyspark.sql.functions as F
+
+    agg = cells.agg(
+        F.min("ivf_cell").alias("lo"),
+        F.max("ivf_cell").alias("hi"),
+        F.count("*").alias("n"),
+        F.count("ivf_cell").alias("n_assigned"),
+    ).collect()[0]
+    assert agg["lo"] >= 1 and agg["hi"] <= SIM.IVF_NLIST
+    assert agg["n"] == agg["n_assigned"]

@@ -333,6 +333,82 @@ def _gen_ann_lsh(sf_dir: str, out: pathlib.Path) -> None:
     pq.write_table(pa.Table.from_pylist(out_rows), out / "ann_lsh.parquet")
 
 
+def _gen_ann_ivf(sf_dir: str, out: pathlib.Path) -> None:
+    """Pure-Python twin of similarity.ivf_topk: shares only the centroid
+    *trainer* (a driver-side model parameter, like the md5 hyperplanes);
+    assignment, probing and re-ranking are re-derived here independently."""
+    from wordscape_spark.operators.similarity import (
+        IVF_NPROBE,
+        IVF_SAMPLE,
+        train_ivf_centroids,
+    )
+
+    rows = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pylist()
+    ids = [r["vec_id"] for r in rows]
+    vecs = [[float(x) for x in r["embedding"]] for r in rows]
+    sample = [
+        v for _, v in sorted(zip(ids, vecs), key=lambda t: t[0])
+    ][:IVF_SAMPLE]
+    cents = train_ivf_centroids(sample)
+
+    def cell_scores(v: list[float]) -> list[float]:
+        return [_left_fold_dot(c, v) for c in cents]
+
+    def argmax_first(scores: list[float]) -> int:
+        best, best_s = 0, scores[0]
+        for i, s in enumerate(scores[1:], start=1):
+            if s > best_s:
+                best, best_s = i, s
+        return best + 1  # 1-based, ties → lowest index
+
+    cells: dict[int, list[int]] = {}
+    for i, v in enumerate(vecs):
+        cells.setdefault(argmax_first(cell_scores(v)), []).append(i)
+
+    def norm(v: list[float]) -> float:
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        return acc ** 0.5
+
+    norms = [norm(v) for v in vecs]
+    out_rows = []
+    for qi, qid in enumerate(ids):
+        if qid % 97 != 0:
+            continue
+        scores = cell_scores(vecs[qi])
+        probe = sorted(
+            range(1, len(cents) + 1), key=lambda c: (-scores[c - 1], c)
+        )[:IVF_NPROBE]
+        cand: set[int] = set()
+        for c in probe:
+            cand.update(cells.get(c, ()))
+        cand.discard(qi)
+        scored = []
+        for ci in cand:
+            na, nb = norms[qi], norms[ci]
+            if na == 0.0 or nb == 0.0:
+                cos = 0.0
+            else:
+                cos = round_half_up(
+                    _left_fold_dot(vecs[qi], vecs[ci]) / (na * nb), 4
+                )
+            scored.append((cos, ids[ci]))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (cos, nid) in enumerate(scored[:5], start=1):
+            out_rows.append(
+                {
+                    "query_id": qid,
+                    "neighbor_id": nid,
+                    "cos": cos,
+                    "rank": rank,
+                }
+            )
+    pq.write_table(pa.Table.from_pylist(out_rows), out / "ann_ivf.parquet")
+
+
 # ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
@@ -363,6 +439,7 @@ def ensure_golden(sf_dir: str) -> str:
         _gen_model_tables(sf_dir, tmp)
         _gen_media_tables(sf, tmp)
         _gen_ann_lsh(sf_dir, tmp)
+        _gen_ann_ivf(sf_dir, tmp)
         (tmp / "_DONE").touch()
         if not marker.exists():
             try:

@@ -6,9 +6,16 @@
 * ``lsh_topk`` — random-hyperplane LSH bucketing: candidates share ≥1 band of
   sign bits, then exact re-rank.  The 100 TB path: the corpus is scanned
   once to bucket signatures; the join is band-key equi-join, AQE-skew-safe.
+* ``ivf_topk`` — inverted-file ANN (the FAISS-IVF shape): spherical k-means
+  centroids trained driver-side on a bounded deterministic sample, every
+  corpus vector assigned to its nearest centroid cell with a native column
+  expression (one scan, no shuffle), queries probe their ``nprobe`` nearest
+  cells, candidates re-ranked exactly.  At 100 TB the cell assignment is a
+  partition column: probing prunes the scan to nprobe/nlist of the corpus.
 
-Hyperplanes are seeded deterministically (md5 of (plane, dim)) so results are
-reproducible across runs/partitionings.
+Hyperplanes are seeded deterministically (md5 of (plane, dim)) and k-means
+runs a fixed Lloyd schedule on a sorted sample, so results are reproducible
+across runs/partitionings.
 """
 
 from __future__ import annotations
@@ -143,6 +150,185 @@ def lsh_topk(
         "cos", F.expr(_cosine_expr("qvec", "nvec"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+IVF_NLIST = 8
+IVF_NPROBE = 3
+IVF_SAMPLE = 256
+IVF_ITERS = 5
+
+
+def _fold_dot(a: list[float], b: list[float]) -> float:
+    """Sequential left-fold dot product — matches the operation order of
+    Spark's ``aggregate(zip_with(...))`` so doubles are bit-identical
+    between the driver-side trainer, the Spark assignment expression, and
+    the pure-Python golden oracle."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _norm(v: list[float]) -> float:
+    acc = 0.0
+    for x in v:
+        acc += x * x
+    return acc ** 0.5
+
+
+def train_ivf_centroids(
+    sample: list[list[float]],
+    nlist: int = IVF_NLIST,
+    iters: int = IVF_ITERS,
+) -> list[list[float]]:
+    """Deterministic spherical k-means over a (sorted, bounded) sample.
+
+    This is the IVF *training* step, which is driver-side by design — the
+    standard IVF recipe (FAISS) trains centroids on a bounded sample
+    (~10^5-10^6 vectors) regardless of corpus size; only assignment and
+    search are distributed.  Init is an even stride over the sample,
+    updates are plain Lloyd steps on L2-normalized vectors, ties go to the
+    lowest cell index — fully reproducible, no RNG.
+    """
+    if not sample:
+        return []
+    unit = []
+    for v in sample:
+        n = _norm(v)
+        unit.append([x / n for x in v] if n > 0 else list(v))
+    nlist = min(nlist, len(unit))
+    cents = [unit[(i * len(unit)) // nlist] for i in range(nlist)]
+    for _ in range(iters):
+        sums = [[0.0] * len(unit[0]) for _ in range(nlist)]
+        counts = [0] * nlist
+        for v in unit:
+            best, best_s = 0, None
+            for ci, c in enumerate(cents):
+                s = _fold_dot(c, v)
+                if best_s is None or s > best_s:
+                    best, best_s = ci, s
+            counts[best] += 1
+            for d, x in enumerate(v):
+                sums[best][d] += x
+        for ci in range(nlist):
+            if counts[ci] == 0:
+                continue  # empty cell keeps its previous centroid
+            mean = [s / counts[ci] for s in sums[ci]]
+            n = _norm(mean)
+            if n > 0:
+                cents[ci] = [x / n for x in mean]
+    return cents
+
+
+def sample_for_training(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n: int = IVF_SAMPLE,
+) -> list[list[float]]:
+    """Bounded deterministic training sample: the ``n`` lowest-id vectors
+    (TakeOrdered — per-partition top-n then merge, no global sort)."""
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n).collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def _score_cells(cents: list[list[float]], vec_col: str):
+    """Column expr: per-cell dot product of the (unnormalized) vector with
+    every unit centroid.  Argmax over these equals argmax cosine — the
+    vector's own norm is a positive constant across cells."""
+    cents_col = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    return F.transform(
+        cents_col,
+        lambda c: F.aggregate(
+            F.zip_with(c, vec, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def with_ivf_cell(
+    df: DataFrame,
+    cents: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds ``ivf_cell`` (1-based; ties → lowest index).  Native expression,
+    zero shuffle — at scale this becomes the table's partition column."""
+    return (
+        df.withColumn("_ivf_scores", _score_cells(cents, vec_col))
+        .withColumn(
+            "ivf_cell",
+            F.expr(
+                "CAST(array_position(_ivf_scores, "
+                "array_max(_ivf_scores)) AS INT)"
+            ),
+        )
+        .drop("_ivf_scores")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Approximate top-k via IVF: assign corpus to cells, probe each query's
+    ``nprobe`` best cells, exact cosine re-rank of the candidates.
+
+    Plan shape at scale: one corpus scan for assignment (or zero, with
+    ``ivf_cell`` maintained as a partition column), a broadcast equi-join on
+    the cell id, and a window top-k — no corpus shuffle.
+    """
+    cents = train_ivf_centroids(
+        sample_for_training(corpus, id_col, vec_col), nlist
+    )
+    c = with_ivf_cell(corpus, cents, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        "ivf_cell",
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cell_score"), F.asc("ivf_cell")
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.posexplode(_score_cells(cents, vec_col)).alias(
+                "cell0", "cell_score"
+            ),
+        )
+        .withColumn("ivf_cell", (F.col("cell0") + 1).cast("int"))
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "qvec", "ivf_cell")
+    )
+    scored = (
+        c.join(F.broadcast(q), "ivf_cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.expr(_cosine_expr("qvec", "nvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

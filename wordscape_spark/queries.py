@@ -292,6 +292,40 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (FAISS shape): k-means cells + nprobe search + exact
+    re-rank.  Oracle: golden parquet from the pure-Python twin."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter("vec_id % 97 = 0")
+    return SIM.ivf_topk(emb, queries, k=5).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cos",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of IVF ANN vs exact brute force — the approximation quality
+    as a driver-checked number."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter("vec_id % 97 = 0")
+    brute = SIM.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = (
+        SIM.ivf_topk(emb, queries, k=5)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return brute.join(ivf, ["query_id", "neighbor_id"], "left").agg(
+        F.expr(
+            "CAST(round(count(hit) * 1.0 / count(*), 4) AS DOUBLE)"
+        ).alias("recall"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extraction queries (interleaved table)
 # ---------------------------------------------------------------------------
@@ -1059,6 +1093,41 @@ def build_oracle_sql() -> dict[str, str]:
       ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
     """
 
+    oracles["ann_ivf_topk"] = f"""
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           cos, CAST(rank AS INT) AS rank
+    FROM read_parquet('{gold}/ann_ivf.parquet')
+    """
+
+    oracles["ann_ivf_recall"] = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec
+      FROM embeddings WHERE vec_id % 97 = 0
+    ),
+    s AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qvec::DOUBLE[],
+                                          e.embedding::DOUBLE[]), 4) AS cos
+      FROM embeddings e, q WHERE e.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+      ) AS rank FROM s
+    ),
+    brute AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+    ivf AS (
+      SELECT query_id, neighbor_id
+      FROM read_parquet('{gold}/ann_ivf.parquet')
+    )
+    SELECT CAST(round(count(l.neighbor_id) * 1.0 / count(*), 4) AS DOUBLE)
+             AS recall,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM brute b LEFT JOIN ivf l
+      ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+    """
+
     _pg_words = T.metrics_exprs("p.page_text", "duckdb")["num_words"]
     _page_counts_cte = f"""
     pc AS (
@@ -1211,4 +1280,6 @@ QUERIES = {
     "page_semi_join": q_page_semi_join,
     "doc_core_props": q_doc_core_props,
     "docx_ingest": q_docx_ingest,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_recall": q_ann_ivf_recall,
 }
