@@ -272,10 +272,83 @@ def run_extract_only() -> dict:
     }
 
 
+def run_simhash_megadoc() -> dict:
+    """Mega-doc SimHash datapoint: the shipped linear form vs the round-1
+    quadratic form (per-bit, per-distinct-token array rescans),
+    reconstructed here only for comparison.  The quadratic expression is
+    O(bits * distinct * n) — at real mega-doc sizes (100k+ tokens) it is
+    ~10^10 comparisons per doc, so it is measured at a size it can finish
+    and the linear form is additionally measured at full mega-doc size."""
+    import time
+
+    from wordscape_spark.operators import dedup as D
+    from wordscape_spark.operators.dedup import SIMHASH_BITS, tokens_expr
+    from wordscape_spark.session import build_session
+    import pyspark.sql.functions as F
+
+    spark = build_session(
+        app_name="wordscape-bench-simhash",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+    )
+
+    def megadoc(n_tokens: int, n_distinct: int) -> "object":
+        text = " ".join(f"tok{i % n_distinct}" for i in range(n_tokens))
+        return spark.createDataFrame(
+            [("mega", text)], "doc_id string, text string"
+        )
+
+    def quadratic(df):
+        # round-1 form (fixed by commit 767f6a8): rescans the token array
+        # per (bit, distinct token)
+        toks = tokens_expr("text", "spark")
+        h = D._hash64_spark("t")
+        sim = (
+            f"aggregate(zip_with(transform(sequence(0, {SIMHASH_BITS - 1}),"
+            f" b -> aggregate(array_distinct({toks}), 0L, (acc, t) -> acc +"
+            f" size(filter({toks}, x -> x = t)) *"
+            f" (CASE WHEN (shiftright({h}, b) & 1) = 1 THEN 1 ELSE -1 END)))"
+            f", sequence(0, {SIMHASH_BITS - 1}),"
+            f" (s, b) -> CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b)"
+            f" ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT),"
+            f" (acc, x) -> acc + x)"
+        )
+        return df.select("doc_id", F.expr(sim).alias("simhash"))
+
+    def timed(make_df):
+        t0 = time.monotonic()
+        rows = make_df.collect()
+        return round(time.monotonic() - t0, 3), rows[0]["simhash"]
+
+    small = megadoc(5_000, 2_000).persist()
+    small.count()
+    lin_small_s, lin_hash = timed(D.simhash(small))
+    quad_small_s, quad_hash = timed(quadratic(small))
+    big = megadoc(200_000, 30_000).persist()
+    big.count()
+    lin_big_s, _ = timed(D.simhash(big))
+    spark.stop()
+    return {
+        "metric": "simhash_megadoc",
+        "unit": "sec",
+        "hash_equal_small": bool(lin_hash == quad_hash),
+        "linear_5k_tokens_s": lin_small_s,
+        "quadratic_5k_tokens_s": quad_small_s,
+        "speedup_5k": round(quad_small_s / max(lin_small_s, 1e-9), 1),
+        "linear_200k_tokens_s": lin_big_s,
+        "note": (
+            "quadratic @200k tokens is ~10^10 comparisons/doc "
+            "(not run); linear completes in linear_200k_tokens_s"
+        ),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
     elif "--extract-only" in sys.argv:
         print(json.dumps(run_extract_only()))
+    elif "--simhash-megadoc" in sys.argv:
+        print(json.dumps(run_simhash_megadoc()))
     else:
         print(json.dumps(run_bench()))
