@@ -71,6 +71,12 @@ def build_session(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    # ad-hoc conf overrides for bench experiments, e.g.
+    # SPARK_GRAFT_EXTRA_CONF="spark.sql.files.minPartitionNum=256"
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for item in filter(None, env_conf.split(",")):
+        k, _, v = item.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
