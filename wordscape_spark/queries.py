@@ -9,8 +9,10 @@ Conventions:
   from the sf (generated on demand under /root/repo/data/interleaved);
   their oracles read the same parquet via read_parquet();
 * genuinely non-SQL-expressible ops (the classifier itself, pandas-UDF
-  media features, LSH ANN) have no oracle entry → driver rows-only check;
-  their semantics are pinned by tests/ instead.
+  media features, LSH/IVF ANN) are pinned by golden parquet: their
+  pure-Python single-node oracles run without Spark (wordscape_spark.golden)
+  and the oracle SQL is SELECT ... FROM read_parquet('<golden>') — every
+  registered query has a full rows+schema+hash oracle entry.
 """
 
 from __future__ import annotations
@@ -399,7 +401,7 @@ def q_extract_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_meta_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORM-shaped wide metadata (num_<entity> columns). Rows-only."""
+    """ORM-shaped wide metadata (num_<entity> columns); golden-parquet oracle."""
     extracted = _extracted(spark, sf_dir)
     wide = X.doc_meta_wide(extracted)
     cols = ["doc_id", "quality", "num_chars"] + [
@@ -514,7 +516,7 @@ def q_shape_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_shape_remap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """heading_1..9 → heading merge + per-class minimums over classified
-    spans (rows-only: depends on the classifier)."""
+    spans (golden-parquet oracle — depends on the classifier)."""
     extracted = _extracted(spark, sf_dir)
     spans = (
         X.spans_out(extracted)
@@ -550,7 +552,8 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-shape trigram language ID (per-executor model, top-k map).
-    Rows-only: the model lives in Python; pinned vs pure python in tests."""
+    Golden-parquet oracle (the model lives in Python; also pinned vs pure
+    python in tests)."""
     from wordscape_spark.operators import langid_trigram as L
 
     out = L.with_trigram_langid(_docs(spark, sf_dir))
@@ -577,7 +580,7 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 analog: drop duplicate classified spans by deterministic span hash
     (ref: postprocessing/postprocess.py:94-95 — sha1-of-repr identity).
-    Rows-only (depends on the classifier)."""
+    Golden-parquet oracle (depends on the classifier)."""
     extracted = _extracted(spark, sf_dir)
     spans = (
         X.spans_out(extracted)
@@ -601,7 +604,7 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_whitelist_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3+E7 composed: char-bigram perplexity (pandas UDF, per-language
-    model) feeding the per-language 80th-percentile gate.  Rows-only: the
+    model) feeding the per-language 80th-percentile gate.  Golden-parquet oracle: the
     model tables live in Python; semantics pinned in tests."""
     from wordscape_spark.operators import perplexity as P
 
