@@ -47,6 +47,9 @@ def run_bench() -> dict:
         app_name="wordscape-bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=int(CPUS),
+        # splits ≫ cores so the last task wave amortizes heavy-tailed
+        # per-partition costs (see BENCH/SCALING_ANALYSIS.md §3a)
+        extra_conf={"spark.sql.files.minPartitionNum": "256"},
     )
     timings: dict[str, float] = {}
 
