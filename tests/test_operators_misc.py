@@ -105,6 +105,36 @@ def test_media_pipeline_end_to_end(spark):
         MM.extract_features(media, decode_real=True).count()
 
 
+def test_media_resize_and_frames(spark):
+    docs = SRC.read_docs(spark, datagen.ensure_interleaved(0.001))
+    media = MM.media_table(docs).persist()
+    resized = MM.resize_media(media, max_dim=256).collect()
+    for r in resized:
+        assert max(r["out_width"], r["out_height"]) <= 256
+        if max(r["width"], r["height"]) <= 256:
+            assert (r["out_width"], r["out_height"]) == (r["width"], r["height"])
+        else:  # exact integer-arithmetic scaling
+            longest = max(r["width"], r["height"])
+            assert r["out_width"] == (r["width"] * 256) // longest
+            assert r["out_height"] == (r["height"] * 256) // longest
+    frames = MM.frame_sample(media, frame_len=256, max_frames=4)
+    f = frames.first()
+    assert f["frame_sig"] == bytes(f["frame_bytes"])[:8].hex()
+    import pyspark.sql.functions as F
+
+    counts = (
+        frames.groupBy("doc_id", "media_ref")
+        .agg(F.countDistinct("frame_idx").alias("n"))
+        .collect()
+    )
+    assert all(1 <= r["n"] <= 4 for r in counts)
+    with pytest.raises(Exception):
+        MM.resize_media(media, decode_real=True).count()
+    with pytest.raises(Exception):
+        MM.frame_sample(media, decode_real=True).count()
+    media.unpersist()
+
+
 def test_scalable_doc_id_equals_window(spark):
     """The range-bucketed scalable doc-id path must equal the single-window
     variant bit-for-bit (bucket = ordering-key prefix ⇒ same global order)."""

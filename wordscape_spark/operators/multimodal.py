@@ -120,3 +120,110 @@ def extract_features(media: DataFrame, decode_real: bool = False) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(features, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, max_dim: int = 256, decode_real: bool = False
+) -> DataFrame:
+    """Aspect-preserving resize to fit ``max_dim`` (mapInPandas batch shape).
+
+    The output *dimensions* are integer arithmetic on the metadata and are
+    fully real (new_w = w·max_dim // max(w, h) when the image exceeds
+    max_dim); the pixel resample itself needs an imaging lib and is stubbed
+    behind ``decode_real=True`` — content passes through unchanged, so the
+    schema, partitioning and batch plumbing are production-shaped.
+    """
+
+    def resize(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decode_real:
+            raise NotImplementedError(
+                "real pixel resample requires PIL (not in sandbox); "
+                "dimension arithmetic + passthrough bytes are the surrogate"
+            )
+        for pdf in batch_iter:
+            w = pdf["width"].astype("int64")
+            h = pdf["height"].astype("int64")
+            longest = w.combine(h, max)
+            scale_needed = longest > max_dim
+            out_w = w.where(~scale_needed, (w * max_dim) // longest)
+            out_h = h.where(~scale_needed, (h * max_dim) // longest)
+            out = pdf[["doc_id", "media_ref"]].copy()
+            out["width"] = w.astype("int32")
+            out["height"] = h.astype("int32")
+            out["out_width"] = out_w.astype("int32")
+            out["out_height"] = out_h.astype("int32")
+            out["content"] = pdf["content"]
+            yield out
+
+    return media.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+        StructField("frame_sig", StringType()),
+    ]
+)
+
+
+def frame_sample(
+    media: DataFrame,
+    frame_len: int = 256,
+    max_frames: int = 4,
+    decode_real: bool = False,
+) -> DataFrame:
+    """Sample up to ``max_frames`` fixed-stride frames per media item.
+
+    The production path (``decode_real=True``) would ffmpeg-demux the
+    container and decode keyframes; stubbed in-sandbox.  The surrogate
+    treats the binary content as a raw frame stream: frame i is bytes
+    [i·frame_len, (i+1)·frame_len), ``frame_sig`` is the lowercase hex of
+    its first 8 bytes — byte-identical to the SQL oracle, so the driver
+    pins that the pandas-UDF byte handling (slicing, Arrow binary round-
+    trip) is exact, not just row counts.
+    """
+
+    def frames(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decode_real:
+            raise NotImplementedError(
+                "real frame decode requires ffmpeg (not in sandbox); "
+                "fixed-stride byte slicing is the surrogate"
+            )
+        for pdf in batch_iter:
+            rows = []
+            for doc_id, ref, content in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["content"]
+            ):
+                b = bytes(content)
+                n_frames = min(max_frames, max(1, len(b) // frame_len))
+                for i in range(n_frames):
+                    fb = b[i * frame_len:(i + 1) * frame_len]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "media_ref": ref,
+                            "frame_idx": i,
+                            "frame_bytes": fb,
+                            "frame_sig": fb[:8].hex(),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media.mapInPandas(frames, schema=FRAME_SCHEMA)

@@ -489,6 +489,35 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(media)
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plumbing (pixel resample stubbed; the
+    dimension arithmetic and batch shape are real and SQL-pinned)."""
+    media = MM.media_table(_interleaved(spark, sf_dir))
+    out = MM.resize_media(media, max_dim=256)
+    return out.select(
+        "doc_id",
+        "media_ref",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("out_width").cast("long").alias("out_width"),
+        F.col("out_height").cast("long").alias("out_height"),
+    )
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride frame sampling; frame_sig pins the pandas-UDF binary
+    slicing byte-for-byte against the SQL oracle."""
+    media = MM.media_table(_interleaved(spark, sf_dir))
+    out = MM.frame_sample(media, frame_len=256, max_frames=4)
+    return out.select(
+        "doc_id",
+        "media_ref",
+        "frame_idx",
+        "frame_sig",
+        F.length("frame_bytes").cast("long").alias("n_frame_bytes"),
+    )
+
+
 def q_clean_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _docs(spark, sf_dir).withColumn(
         "url",
@@ -921,6 +950,57 @@ def build_oracle_sql() -> dict[str, str]:
     FROM figs
     """
 
+    oracles["media_resize"] = f"""
+    WITH figs AS (
+      SELECT doc_id, u.media_ref AS media_ref,
+             md5(doc_id || '/' || u.media_ref) AS seed
+      FROM (SELECT doc_id, unnest(spans) AS u FROM read_parquet('{ipath}'))
+      WHERE u.media_ref IS NOT NULL
+    ),
+    dims AS (
+      SELECT doc_id, media_ref,
+             CAST(32 + (('0x' || substr(seed, 1, 4))::INT % 993) AS BIGINT)
+               AS width,
+             CAST(32 + (('0x' || substr(seed, 5, 4))::INT % 993) AS BIGINT)
+               AS height
+      FROM figs
+    )
+    SELECT doc_id, media_ref, width, height,
+           CASE WHEN greatest(width, height) > 256
+                THEN (width * 256) // greatest(width, height)
+                ELSE width END AS out_width,
+           CASE WHEN greatest(width, height) > 256
+                THEN (height * 256) // greatest(width, height)
+                ELSE height END AS out_height
+    FROM dims
+    """
+
+    oracles["media_frames"] = f"""
+    WITH figs AS (
+      SELECT doc_id, u.media_ref AS media_ref,
+             md5(doc_id || '/' || u.media_ref) AS seed
+      FROM (SELECT doc_id, unnest(spans) AS u FROM read_parquet('{ipath}'))
+      WHERE u.media_ref IS NOT NULL
+    ),
+    sized AS (
+      SELECT doc_id, media_ref, seed,
+             64 + (('0x' || substr(seed, 1, 4))::INT % 4096) AS n
+      FROM figs
+    ),
+    frames AS (
+      SELECT doc_id, media_ref, seed, n,
+             unnest(range(least(4, greatest(1, n // 256)))) AS frame_idx
+      FROM sized
+    )
+    SELECT doc_id, media_ref, CAST(frame_idx AS INT) AS frame_idx,
+           substr(repeat(seed, (n // 16) + 1),
+                  CAST(frame_idx * 512 + 1 AS BIGINT), 16) AS frame_sig,
+           CAST(CASE WHEN n < 256 THEN n
+                     WHEN (frame_idx + 1) * 256 <= n THEN 256
+                     ELSE n - frame_idx * 256 END AS BIGINT) AS n_frame_bytes
+    FROM frames
+    """
+
     oracles["token_budget"] = f"""
     WITH toks AS (
       SELECT doc_id, lang, {tok['tokens_ws']} AS tokens FROM documents
@@ -1267,6 +1347,8 @@ QUERIES = {
     "page_filter": q_page_filter,
     "media_stats": q_media_stats,
     "media_features": q_media_features,
+    "media_resize": q_media_resize,
+    "media_frames": q_media_frames,
     "shape_sample": q_shape_sample,
     "shape_remap_counts": q_shape_remap_counts,
     "maldoc_gate": q_maldoc_gate,
