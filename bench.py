@@ -68,8 +68,15 @@ def run_bench() -> dict:
         fn()
         timings[name] = round(time.monotonic() - t0, 3)
 
-    # headline: full extraction (classified spans + metadata for every doc)
-    timed("extract", lambda: _noop_write(X.extract(docs)))
+    # headline: full extraction (classified spans + metadata for every doc).
+    # min of 2 passes — identical passes vary ±20% on this shared VM
+    # (BENCH/SCALING_ANALYSIS.md §3b); the min is the reproducible number.
+    extract_walls = []
+    for _ in range(2):
+        t0 = time.monotonic()
+        _noop_write(X.extract(docs))
+        extract_walls.append(round(time.monotonic() - t0, 3))
+    timings["extract"] = min(extract_walls)
 
     # quality-gate / auxiliary operators at bench scale
     timed(
@@ -126,6 +133,7 @@ def run_bench() -> dict:
         "n_spans": int(n_spans),
         "docs_per_sec": round(n_docs / timings["extract"], 2),
         "spans_per_sec": round(n_spans / timings["extract"], 2),
+        "extract_passes": extract_walls,
         "cpus": int(CPUS),
     }
 

@@ -440,6 +440,22 @@ def q_page_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FL.apply_page_whitelist(extracted)
 
 
+def q_page_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page language ID (the reference's page-level languages,
+    annotator_process.py:536-560): the same dual-dialect stopword scorer as
+    E1, over the page-model text.  Oracle recomputes independently in SQL
+    over the golden pages table."""
+    extracted = _extracted(spark, sf_dir)
+    pages = X.page_meta(extracted)
+    out = T.with_langid(pages, col="page_text")
+    return out.select(
+        "doc_id",
+        F.col("page_number").cast("int").alias("page_number"),
+        "top_lang",
+        "top_lang_score",
+    )
+
+
 def q_docx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star input path: raw OOXML/.docx byte streams → zip +
     document.xml walk (operators/docx.py) → span grammar → classifier.
@@ -1236,6 +1252,17 @@ def build_oracle_sql() -> dict[str, str]:
     FROM feat
     """
 
+    _pg_lang = T.langid_exprs("page_text", "duckdb")
+    oracles["page_langid"] = (
+        "WITH scored AS (SELECT doc_id, CAST(page AS INT) AS page_number, "
+        + ", ".join(
+            f"{_pg_lang[f'score_{x}']} AS score_{x}" for x in T.LANGS
+        )
+        + f" FROM read_parquet('{gold}/pages.parquet'))"
+        + f" SELECT doc_id, page_number, {_pg_lang['top_lang']} AS top_lang,"
+        + f" {_pg_lang['top_lang_score']} AS top_lang_score FROM scored"
+    )
+
     _ppl_doc = FL.pseudo_perplexity_expr("m.text", "duckdb")
     _page_whitelist_sql = f"""
     WITH {_page_counts_cte},
@@ -1361,6 +1388,7 @@ QUERIES = {
     "doc_meta_wide": q_doc_meta_wide,
     "ann_lsh_recall": q_ann_lsh_recall,
     "page_meta": q_page_meta,
+    "page_langid": q_page_langid,
     "page_whitelist": q_page_whitelist,
     "page_semi_join": q_page_semi_join,
     "doc_core_props": q_doc_core_props,
