@@ -182,6 +182,56 @@ def minhash_duplicate_pairs(
     return verified
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (no hashing, no bands).
+
+    Shingle sets are exploded to (shingle → doc) postings; candidate pairs
+    are docs sharing ≥1 shingle; the intersection size is a distributed
+    groupBy count (shingles are distinct per doc), sizes join back for
+    |A∪B| = |A|+|B|−|A∩B|.  This is the oracle-grade exact measure — the
+    posting self-join grows quadratically inside hot shingles, so at
+    10^12 rows ``minhash_duplicate_pairs`` (banded LSH, same verify
+    formula) is the scale path and this operator is for bounded slices /
+    validation samples.
+    """
+    shs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(shingles_expr(text_col, "spark")).alias("sh"),
+    )
+    sizes = shs.select("doc_id", F.size("sh").alias("n_sh"))
+    posts = shs.select("doc_id", F.explode("sh").alias("s"))
+    inter = (
+        posts.alias("a")
+        .join(posts.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_sh", "na")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("n_sh", "nb")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 # ------------------------------------------------------------------ simhash
 
 SIMHASH_BITS = 60  # stay within positive int64

@@ -210,6 +210,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs (no LSH) — the oracle-grade baseline the
+    banded MinHash approximates; bounded corpus, full SQL oracle."""
+    return D.ngram_jaccard_pairs(_dup_corpus(spark, sf_dir), threshold=0.5)
+
+
 def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup: MinHash+LSH pairs → connected-duplicate
     clusters → keep representatives.  Oracle: the same pipeline as a
@@ -845,6 +851,18 @@ def build_oracle_sql() -> dict[str, str]:
     SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
     """
 
+    oracles["dedup_jaccard"] = f"""
+    WITH corpus AS ({_DUP_CORPUS_DUCK}),
+    shs AS (SELECT doc_id, {sh} AS sh FROM corpus)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                 6) AS jaccard
+    FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    """
+
     oracles["dedup_pipeline"] = f"""
     WITH RECURSIVE corpus AS ({_DUP_CORPUS_DUCK}),
     shs AS (SELECT doc_id, {sh} AS sh FROM corpus),
@@ -1361,6 +1379,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "doc_whitelist": q_doc_whitelist,
     "ann_brute_topk": q_ann_brute_topk,
