@@ -552,15 +552,21 @@ def _make_merge_partials_fn(cfg: ExtractConfig):
 # ---------------------------------------------------------------------------
 
 
-def ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Round-robin repartition when the scan is under-partitioned.
+def ensure_parallelism(
+    df: DataFrame, min_partitions: int | None = None
+) -> DataFrame:
+    """Guarantee the downstream Python stage is parallel — without touching
+    ``df.rdd`` (converting the plan to an RDD just to read a partition count
+    forces a full plan-to-RDD translation per call).
 
-    Small local files scan as 1-5 partitions, serializing the Python
-    classification stage; at cluster scale inputs already carry ≥ cores
-    partitions and this is a no-op (the condition never fires)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    File scans — the only input kind that exists at 100 TB — are already
+    split by the session confs (``spark.sql.files.minPartitionNum`` ≥ cores,
+    ``maxPartitionBytes``), and AQE coalesces over-splitting at runtime, so
+    no dynamic check is needed: this is a no-op.  For non-file inputs
+    (in-memory test frames, post-aggregation locals) pass ``min_partitions``
+    to force an explicit round-robin repartition."""
+    if min_partitions is not None:
+        return df.repartition(min_partitions)
     return df
 
 

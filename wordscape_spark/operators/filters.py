@@ -180,15 +180,17 @@ def whitelist_pages(
 def page_member_intersection(pages: DataFrame) -> DataFrame:
     """E9 part 1 (ref: run_filter_tars.py:35-55): a page is applicable only
     when all four artifact member sets contain it — renderings (every page),
-    text members, entity members, word members."""
+    text members, entity members, word members.
+
+    (doc_id, page_number) is unique per page row, so the four-set
+    intersection collapses to one conjunctive filter over a single scan —
+    zero shuffles, where four projections + three ``intersect`` s would cost
+    4 scans and 3 shuffle-dedups at 100× scale.  The set formulation is kept
+    verbatim in the DuckDB oracle as the independent twin."""
     feats = page_features(pages)
-    ids = lambda df: df.select("doc_id", "page_number")  # noqa: E731
-    return (
-        ids(feats)
-        .intersect(ids(feats.filter("length(page_text) > 0")))
-        .intersect(ids(feats.filter("n_entities > 0")))
-        .intersect(ids(feats.filter("num_words > 0")))
-    )
+    return feats.filter(
+        "length(page_text) > 0 AND n_entities > 0 AND num_words > 0"
+    ).select("doc_id", "page_number")
 
 
 def apply_page_whitelist(

@@ -216,12 +216,64 @@ def langid_exprs(col: str, dialect: str) -> dict[str, str]:
     return out
 
 
+def langid_topk_expr(dialect: str, k: int = 5) -> str:
+    """E1 output-shape parity: the reference emits a top-k (k=5)
+    ``{__label__xx: conf}`` dict per doc/page, empty text →
+    ``{__label__unknown: 1.0}`` (inference.py:31-44; utils.py:18-29).
+
+    Canonical serialized form (hash-comparable across engines):
+    ``__label__<lang>:<score_ppm>`` entries joined by ``|``, ordered by
+    (score desc, lang desc — struct sort is lexicographic in both engines);
+    scores as integer parts-per-million so float formatting cannot drift
+    between Spark and DuckDB.  Assumes the per-language ``score_<lang>``
+    aliases are in scope (as produced by langid_exprs).
+    """
+    n = min(k, len(LANGS))
+    if dialect == "spark":
+        entries = ", ".join(
+            f"named_struct('score', CAST(round(score_{lang} * 1000000) "
+            f"AS BIGINT), 'lang', '{lang}')"
+            for lang in LANGS
+        )
+        joined = (
+            f"concat_ws('|', transform(slice(reverse(array_sort(array("
+            f"{entries}))), 1, {n}), "
+            f"s -> concat('__label__', s.lang, ':', CAST(s.score AS STRING))))"
+        )
+    else:
+        entries = ", ".join(
+            "{'score': CAST(round(score_" + lang + " * 1000000) AS BIGINT), "
+            f"'lang': '{lang}'}}"
+            for lang in LANGS
+        )
+        joined = (
+            f"array_to_string(list_transform(list_reverse(list_sort("
+            f"[{entries}]))[1:{n}], "
+            f"s -> '__label__' || s.lang || ':' || s.score::VARCHAR), '|')"
+        )
+    zero = " + ".join(f"score_{lang}" for lang in LANGS)
+    return (
+        f"CASE WHEN ({zero}) = 0 THEN '__label__unknown:1000000' "
+        f"ELSE {joined} END"
+    )
+
+
 def with_langid(df: DataFrame, col: str = "text") -> DataFrame:
     exprs = langid_exprs(col, "spark")
     for name in [f"score_{lang}" for lang in LANGS]:
         df = df.withColumn(name, F.expr(exprs[name]))
     df = df.withColumn("top_lang", F.expr(exprs["top_lang"]))
     df = df.withColumn("top_lang_score", F.expr(exprs["top_lang_score"]))
+    # E1 shape parity: lang→score map (the fastText dict analog) + the
+    # canonical serialized top-k used by the dual-dialect driver oracle
+    df = df.withColumn(
+        "languages",
+        F.map_from_arrays(
+            F.array(*[F.lit(lang) for lang in LANGS]),
+            F.array(*[F.col(f"score_{lang}") for lang in LANGS]),
+        ),
+    )
+    df = df.withColumn("languages_topk", F.expr(langid_topk_expr("spark")))
     return df
 
 

@@ -149,6 +149,10 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[f"score_{lang}" for lang in T.LANGS],
         "top_lang",
         "top_lang_score",
+        # E1 shape parity: canonical serialized top-k language→confidence
+        # map (inference.py:31-44); the MapType twin is the `languages`
+        # column of with_langid
+        "languages_topk",
     )
 
 
@@ -459,6 +463,95 @@ def q_page_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("page_number").cast("int").alias("page_number"),
         "top_lang",
         "top_lang_score",
+        "languages_topk",
+    )
+
+
+def q_fixture_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-authored classifier fixtures with LITERAL expected spans.
+
+    Breaks the golden-oracle circularity: the oracle for this query is a
+    plain VALUES list of expected (kind, text, media_ref, offset, page)
+    rows derived BY HAND from the reference semantics
+    (wordscape_spark/fixtures.py — each fixture cites the
+    build_heuristics/content_awareness/mappings behavior it pins).  No repo
+    code generated the expected values."""
+    from wordscape_spark.fixtures import fixture_rows
+
+    docs = spark.createDataFrame(fixture_rows(), schema=X.INPUT_SCHEMA)
+    extracted = X.extract(docs)
+    return (
+        X.spans_out(extracted)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("offset"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.page").alias("page"),
+        )
+    )
+
+
+def _stream_run(spark: SparkSession, sf_dir: str, dedup: bool) -> DataFrame:
+    """Run the streaming extraction (availableNow) into a scratch sink and
+    return the materialized output — the driver-gate harness for the
+    Structured Streaming path (streaming/stream.py)."""
+    import pathlib
+    import shutil
+
+    from wordscape_spark.streaming import stream as ST
+
+    in_file = datagen.ensure_interleaved(datagen.sf_from_dir(sf_dir))
+    tag = "dedup" if dedup else "plain"
+    base = pathlib.Path("/root/repo/data/stream_gate") / (
+        f"sf{datagen.sf_from_dir(sf_dir):g}-{tag}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    # the file stream source consumes a directory listing
+    in_dir = base / "in"
+    in_dir.mkdir(parents=True)
+    shutil.copy(in_file, in_dir / "docs.parquet")
+    out_dir, ckpt = str(base / "out"), str(base / "ckpt")
+    fn = ST.stream_dedup_extract if dedup else ST.stream_extract
+    q = fn(spark, str(in_dir), out_dir, ckpt, available_now=True)
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming extraction == batch extraction: the availableNow stream's
+    classified span output must equal the batch span surface (oracle: the
+    golden spans parquet, same as extract_spans).  Ref analog: resume
+    semantics of annotator_process.py:199-282."""
+    out = _stream_run(spark, sf_dir, dedup=False)
+    return (
+        out.filter("ok")
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("offset"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.page").alias("page"),
+        )
+    )
+
+
+def q_stream_dedup_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming extraction + cross-micro-batch stateful content dedup: the
+    output must contain EXACTLY ONE row per distinct extracted content hash
+    (which duplicate wins depends on micro-batch order, so the deterministic
+    surface is the distinct-hash set with its output multiplicity).  Oracle:
+    dual-dialect SQL — distinct sha256 of the independently serialized
+    document texts."""
+    out = _stream_run(spark, sf_dir, dedup=True)
+    return (
+        out.filter("ok")
+        .groupBy("bytehash")
+        .agg(F.count("*").alias("n"))
     )
 
 
@@ -804,7 +897,8 @@ def build_oracle_sql() -> dict[str, str]:
         + " FROM documents) SELECT doc_id, "
         + ", ".join(f"score_{x}" for x in T.LANGS)
         + f", {lang['top_lang']} AS top_lang"
-        + f", {lang['top_lang_score']} AS top_lang_score FROM scored"
+        + f", {lang['top_lang_score']} AS top_lang_score"
+        + f", {T.langid_topk_expr('duckdb')} AS languages_topk FROM scored"
     )
 
     oracles["normalize"] = f"""
@@ -851,16 +945,23 @@ def build_oracle_sql() -> dict[str, str]:
     SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
     """
 
+    # boundary parity with the Spark side: filter on the SAME 6dp-rounded
+    # value the query outputs, and require a non-empty intersection (the
+    # Spark plan only ever scores pairs sharing ≥1 shingle, and this also
+    # guards the 0/0 → NaN case for sub-n-token docs)
     oracles["dedup_jaccard"] = f"""
     WITH corpus AS ({_DUP_CORPUS_DUCK}),
-    shs AS (SELECT doc_id, {sh} AS sh FROM corpus)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(len(list_intersect(a.sh, b.sh)) * 1.0 /
-                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
-                 6) AS jaccard
-    FROM shs a JOIN shs b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
-          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    shs AS (SELECT doc_id, {sh} AS sh FROM corpus),
+    scored AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.sh, b.sh)) AS n_inter,
+             round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                   6) AS jaccard
+      FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM scored
+    WHERE n_inter >= 1 AND jaccard >= 0.5
     """
 
     oracles["dedup_pipeline"] = f"""
@@ -1278,7 +1379,8 @@ def build_oracle_sql() -> dict[str, str]:
         )
         + f" FROM read_parquet('{gold}/pages.parquet'))"
         + f" SELECT doc_id, page_number, {_pg_lang['top_lang']} AS top_lang,"
-        + f" {_pg_lang['top_lang_score']} AS top_lang_score FROM scored"
+        + f" {_pg_lang['top_lang_score']} AS top_lang_score,"
+        + f" {T.langid_topk_expr('duckdb')} AS languages_topk FROM scored"
     )
 
     _ppl_doc = FL.pseudo_perplexity_expr("m.text", "duckdb")
@@ -1331,6 +1433,26 @@ def build_oracle_sql() -> dict[str, str]:
 
     oracles["docx_ingest"] = f"""
     SELECT doc_id, text FROM read_parquet('{gold}/doc_meta.parquet')
+    """
+
+    # hand-authored literal expectations — generated by no repo code
+    # (wordscape_spark/fixtures.py, FIXTURE_EXPECTED)
+    from wordscape_spark.fixtures import fixture_expected_sql
+
+    oracles["fixture_spans"] = fixture_expected_sql()
+
+    # streaming parity: availableNow stream output == the batch span surface
+    oracles["stream_extract"] = f"""
+    SELECT doc_id, CAST("offset" AS INT) AS "offset", kind, text, media_ref,
+           CAST(page AS INT) AS page
+    FROM read_parquet('{gold}/spans.parquet')
+    """
+
+    # stateful streaming dedup: exactly one output row per distinct content
+    # hash — independent dual-dialect twin over the serialization CTE
+    oracles["stream_dedup_extract"] = serial_cte + """
+    SELECT sha256(text) AS bytehash, CAST(1 AS BIGINT) AS n
+    FROM (SELECT DISTINCT text FROM gated)
     """
 
     oracles["doc_core_props"] = f"""
@@ -1414,4 +1536,7 @@ QUERIES = {
     "docx_ingest": q_docx_ingest,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_recall": q_ann_ivf_recall,
+    "fixture_spans": q_fixture_spans,
+    "stream_extract": q_stream_extract,
+    "stream_dedup_extract": q_stream_dedup_extract,
 }

@@ -72,9 +72,13 @@ def build_session(
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     # ad-hoc conf overrides for bench experiments, e.g.
-    # SPARK_GRAFT_EXTRA_CONF="spark.sql.files.minPartitionNum=256"
+    # SPARK_GRAFT_EXTRA_CONF="spark.sql.files.minPartitionNum=256".
+    # Entries split on ';' or on commas that start a new key=value pair, so
+    # conf VALUES containing commas (spark.sql.extensions=A,B) survive.
+    import re as _re
+
     env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
-    for item in filter(None, env_conf.split(",")):
+    for item in filter(None, _re.split(r";|,(?=[A-Za-z_][\w.]*=)", env_conf)):
         k, _, v = item.partition("=")
         builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
