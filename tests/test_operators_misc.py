@@ -184,3 +184,46 @@ def test_percentile_approx_is_tight(spark):
     ).collect()
     for r in row:
         assert abs(r["approx"] - r["exact"]) <= 0.01 * max(r["exact"], 1e-9)
+
+
+def test_jaccard_hot_shingle_cap(spark):
+    """Cap above every shingle's document frequency == exact output; a cap
+    that drops corpus-hot shingles yields a subset with jaccard <= exact
+    (lower-bound property of the prefix-filter trick)."""
+    import pyspark.sql.functions as F
+
+    from wordscape_spark.operators import dedup as D
+
+    boiler = " shared boilerplate footer common to all documents here"
+    rows = [
+        ("a", "alpha beta gamma delta epsilon zeta eta theta" + boiler),
+        ("b", "alpha beta gamma delta epsilon zeta eta theta" + boiler),
+        ("c", "one two three four five six seven eight nine" + boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(df, threshold=0.1).collect()
+    }
+    same = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            df, threshold=0.1, max_shingle_df=3
+        ).collect()
+    }
+    assert same == exact  # no shingle df exceeds 3
+
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(
+            df, threshold=0.1, max_shingle_df=2
+        ).collect()
+    }
+    # boilerplate shingles (df=3) dropped: every surviving pair's jaccard is
+    # a lower bound of the exact value and no new pairs appear
+    assert set(capped) <= set(exact)
+    for k, v in capped.items():
+        assert v <= exact[k] + 1e-9
+    # (a, b) are true near-duplicates through non-hot shingles: still found
+    assert ("a", "b") in capped

@@ -60,15 +60,23 @@ def test_whitelist_thresholds_broadcast(spark):
 
 def test_extract_gates_are_native(spark, docs_path):
     """The size gates must appear as Catalyst Filter nodes (pushable,
-    codegen'd), not be buried in the Python UDF."""
+    codegen'd), not be buried in the Python UDF.  With the maintained
+    n_spans column (datagen v4) the split predicate must PUSH to the scan
+    (answered from parquet row-group stats, BENCH/PRUNING.md); a table
+    without the column falls back to native size(spans) filters."""
     docs = spark.read.parquet(docs_path)
-    plan = _plan(X.extract(docs))
-    assert "size(spans" in plan  # native size() filters
+    plan = _formatted(X.extract(docs))
+    assert "PushedFilters: [IsNotNull(n_spans), LessThanOrEqual(n_spans" in (
+        plan
+    ) or "PushedFilters: [IsNotNull(n_spans), GreaterThan(n_spans" in plan
     assert (
         "MapInArrow" in plan        # the hot path (no pandas round-trip)
         or "FlatMapInPandas" in plan
         or "MapInPandas" in plan
     )
+    # fallback path: no n_spans column → native size() filters
+    plan2 = _plan(X.extract(docs.select("doc_id", "spans")))
+    assert "size(spans" in plan2
 
 
 def test_partitioned_sink_prunes(spark, docs_path, tmp_path):

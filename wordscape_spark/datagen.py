@@ -27,7 +27,9 @@ from wordscape_spark import signal as sig
 BASE_DIR = pathlib.Path("/root/repo/data/interleaved")
 # bump when the generator's output changes: the interleaved table is cached
 # on disk per (version, sf), and goldens/oracles key off the same version
-DATAGEN_VERSION = 3
+# v4: maintained n_spans column (the Iceberg-metadata analog the extract
+# small/big split prunes on — parquet row-group min/max stats)
+DATAGEN_VERSION = 4
 
 # synthetic language vocabularies (stopword-bearing so language ID has signal)
 VOCAB = {
@@ -379,7 +381,17 @@ SPAN_TYPE = pa.struct(
         ("offset", pa.int32()),
     ]
 )
-SCHEMA = pa.schema([("doc_id", pa.string()), ("spans", pa.list_(SPAN_TYPE))])
+# n_spans is the MAINTAINED size column (what an Iceberg table would carry
+# as partition/file metadata): the extract salt-threshold split filters on
+# it, so parquet row-group min/max stats prune the mega-doc scan instead of
+# re-reading the whole spans column (see operators/extract.py)
+SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("spans", pa.list_(SPAN_TYPE)),
+        ("n_spans", pa.int32()),
+    ]
+)
 
 
 def generate_table(sf: float, seed: int = 7) -> pa.Table:
@@ -399,7 +411,12 @@ def generate_table(sf: float, seed: int = 7) -> pa.Table:
         doc_ids.append(doc.doc_id)
         spans_col.append(doc.rows())
     return pa.Table.from_pydict(
-        {"doc_id": doc_ids, "spans": spans_col}, schema=SCHEMA
+        {
+            "doc_id": doc_ids,
+            "spans": spans_col,
+            "n_spans": [len(s) for s in spans_col],
+        },
+        schema=SCHEMA,
     )
 
 

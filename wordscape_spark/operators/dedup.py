@@ -187,6 +187,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs (no hashing, no bands).
 
@@ -198,6 +199,16 @@ def ngram_jaccard_pairs(
     10^12 rows ``minhash_duplicate_pairs`` (banded LSH, same verify
     formula) is the scale path and this operator is for bounded slices /
     validation samples.
+
+    ``max_shingle_df`` is the standard hot-shingle cap (prefix-filtering
+    trick): shingles whose document frequency exceeds the cap are dropped
+    from the postings BEFORE the self-join, removing the quadratic blowup
+    inside boilerplate shingles.  Error bound: |A∪B| still uses the full
+    shingle-set sizes, and dropping a shingle can only shrink the counted
+    intersection, so the capped jaccard is a LOWER bound of the exact value
+    — pairs can be missed (never spuriously added) and only when a true-pair
+    intersection consists largely of corpus-hot (≥cap docs) shingles, which
+    near-duplicate pairs by definition do not.  Default off (exact).
     """
     shs = df.select(
         F.col(id_col).alias("doc_id"),
@@ -205,6 +216,15 @@ def ngram_jaccard_pairs(
     )
     sizes = shs.select("doc_id", F.size("sh").alias("n_sh"))
     posts = shs.select("doc_id", F.explode("sh").alias("s"))
+    if max_shingle_df is not None:
+        hot = (
+            posts.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("s")
+        )
+        # hot shingles are few by construction — broadcast anti-join
+        posts = posts.join(F.broadcast(hot), "s", "left_anti")
     inter = (
         posts.alias("a")
         .join(posts.alias("b"), "s")

@@ -576,14 +576,23 @@ def extract(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
     ``docs`` must have (doc_id string, spans array<struct<kind,text,
     media_ref,offset>>).
     """
-    n_spans = F.size("spans")
-
     # Exactly TWO scans of the input: the small path and the salted path.
     # The oversized-document gate (too_many_spans, no Python classification)
     # is folded into the chunk UDF as a reject marker so it does not cost a
-    # third scan.  (On Iceberg the salt_threshold split would become a
-    # partition-level metadata filter on a maintained size column; on raw
-    # parquet both branches read the spans column.)
+    # third scan.
+    #
+    # The split predicate prefers the MAINTAINED ``n_spans`` column (the
+    # Iceberg-size-metadata analog, written by the table producer): a plain
+    # column comparison pushes down to the parquet scan, so the mega-doc
+    # branch is answered from row-group min/max statistics — it reads only
+    # the handful of groups that can contain a mega-doc instead of decoding
+    # the whole multi-GB spans column a second time (evidence:
+    # BENCH/PRUNING.md).  Tables without the column fall back to
+    # ``size(spans)``, which both branches must compute post-scan.
+    if "n_spans" in docs.columns:
+        n_spans = F.col("n_spans")
+    else:
+        n_spans = F.size("spans")
     small = docs.filter(n_spans <= F.lit(cfg.salt_threshold))
     big = docs.filter(n_spans > F.lit(cfg.salt_threshold))
 

@@ -86,16 +86,27 @@ LANGID_SCHEMA = StructType(
 )
 
 
-def with_trigram_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_trigram_langid(
+    df: DataFrame, text_col: str = "text", model=None
+) -> DataFrame:
     """Adds languages map + top_lang/top_lang_score columns (E1 output shape,
-    orm/models.py:74 languages dict + whitelist gate inputs)."""
+    orm/models.py:74 languages dict + whitelist gate inputs).
+
+    ``model`` is the fastText swap point: a picklable ``Callable[[str],
+    dict[str, float]]`` returning the top-k ``{__label__xx: conf}`` map
+    sorted by (-conf, label) — e.g. a wrapper over
+    ``fasttext.load_model('lid.176.ftz').predict(text, k=5)``
+    (inference.py:31-44), lazy-loaded behind a module-level cache so each
+    executor loads the .ftz once.  Default: the in-sandbox trigram model.
+    """
+    fn = model or classify_text
 
     @F.pandas_udf(LANGID_SCHEMA)
     def lid(batch_iter: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for s in batch_iter:
             rows = []
             for text in s:
-                langs = classify_text(text or "")
+                langs = fn(text or "")
                 # classify_text sorts by (-score, lang): its first entry IS
                 # the top pick (ties broken by lexicographically smallest
                 # language, consistently with the map order)

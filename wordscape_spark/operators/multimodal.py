@@ -88,34 +88,51 @@ def media_table(docs: DataFrame) -> DataFrame:
     return figs.mapInPandas(gen_bytes, schema=MEDIA_SCHEMA)
 
 
-def extract_features(media: DataFrame, decode_real: bool = False) -> DataFrame:
+def _surrogate_features(b: bytes) -> dict:
+    """Deterministic byte-level feature surrogate (SQL-reproducible)."""
+    return {
+        "n_bytes": len(b),
+        "byte_mean": round(sum(b) / len(b), 6) if b else 0.0,
+        "phash": hashlib.md5(b).hexdigest()[:16],
+    }
+
+
+def extract_features(
+    media: DataFrame,
+    decoder=None,
+    decode_real: bool = False,
+) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
-    ``decode_real=True`` is the production path (image decode + resize +
-    perceptual hash) — stubbed here because no imaging libs ship in this
-    container; the batch plumbing is identical.
-    """
+    ``decoder`` is the injection point for the production path: a picklable
+    ``Callable[[bytes], dict]`` returning {n_bytes, byte_mean, phash}
+    (e.g. PIL decode + perceptual hash).  It runs inside the same
+    mapInPandas batch loop as the surrogate — a cluster user swaps the
+    imaging backend without editing this operator.  Heavy models should
+    lazy-load behind a module-level cache inside the callable (the
+    per-executor load pattern, reference inference.py:26-27).
 
-    def features(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    ``decode_real=True`` without a decoder preserves the documented sandbox
+    boundary (no imaging libs in this container) by raising.
+    """
+    fn = decoder
+    if fn is None:
         if decode_real:
             raise NotImplementedError(
                 "real media decode requires PIL/ffmpeg (not in sandbox); "
-                "deterministic byte-level features are the test surrogate"
+                "inject decoder=<callable bytes -> feature dict> to use a "
+                "real backend, or use the deterministic surrogate"
             )
+        fn = _surrogate_features
+
+    def features(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batch_iter:
             rows = []
             for doc_id, ref, content in zip(
                 pdf["doc_id"], pdf["media_ref"], pdf["content"]
             ):
-                b = bytes(content)
                 rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "media_ref": ref,
-                        "n_bytes": len(b),
-                        "byte_mean": round(sum(b) / len(b), 6) if b else 0.0,
-                        "phash": hashlib.md5(b).hexdigest()[:16],
-                    }
+                    {"doc_id": doc_id, "media_ref": ref, **fn(bytes(content))}
                 )
             yield pd.DataFrame(rows)
 
@@ -136,23 +153,29 @@ RESIZED_SCHEMA = StructType(
 
 
 def resize_media(
-    media: DataFrame, max_dim: int = 256, decode_real: bool = False
+    media: DataFrame,
+    max_dim: int = 256,
+    resampler=None,
+    decode_real: bool = False,
 ) -> DataFrame:
     """Aspect-preserving resize to fit ``max_dim`` (mapInPandas batch shape).
 
     The output *dimensions* are integer arithmetic on the metadata and are
     fully real (new_w = w·max_dim // max(w, h) when the image exceeds
-    max_dim); the pixel resample itself needs an imaging lib and is stubbed
-    behind ``decode_real=True`` — content passes through unchanged, so the
-    schema, partitioning and batch plumbing are production-shaped.
+    max_dim).  ``resampler`` injects the pixel backend: a picklable
+    ``Callable[[bytes, int, int], bytes]`` → (content, out_w, out_h) →
+    resized bytes (e.g. PIL ``Image.resize``), applied through the same
+    batch loop.  Without one, ``decode_real=True`` raises (sandbox
+    boundary) and the default passes content through unchanged.
     """
+    if resampler is None and decode_real:
+        raise NotImplementedError(
+            "real pixel resample requires PIL (not in sandbox); inject "
+            "resampler=<callable (bytes, w, h) -> bytes> to use a real "
+            "backend"
+        )
 
     def resize(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if decode_real:
-            raise NotImplementedError(
-                "real pixel resample requires PIL (not in sandbox); "
-                "dimension arithmetic + passthrough bytes are the surrogate"
-            )
         for pdf in batch_iter:
             w = pdf["width"].astype("int64")
             h = pdf["height"].astype("int64")
@@ -165,7 +188,13 @@ def resize_media(
             out["height"] = h.astype("int32")
             out["out_width"] = out_w.astype("int32")
             out["out_height"] = out_h.astype("int32")
-            out["content"] = pdf["content"]
+            if resampler is not None:
+                out["content"] = [
+                    resampler(bytes(c), int(ow), int(oh))
+                    for c, ow, oh in zip(pdf["content"], out_w, out_h)
+                ]
+            else:
+                out["content"] = pdf["content"]
             yield out
 
     return media.mapInPandas(resize, schema=RESIZED_SCHEMA)
@@ -186,34 +215,44 @@ def frame_sample(
     media: DataFrame,
     frame_len: int = 256,
     max_frames: int = 4,
+    frame_decoder=None,
     decode_real: bool = False,
 ) -> DataFrame:
     """Sample up to ``max_frames`` fixed-stride frames per media item.
 
-    The production path (``decode_real=True``) would ffmpeg-demux the
-    container and decode keyframes; stubbed in-sandbox.  The surrogate
-    treats the binary content as a raw frame stream: frame i is bytes
-    [i·frame_len, (i+1)·frame_len), ``frame_sig`` is the lowercase hex of
-    its first 8 bytes — byte-identical to the SQL oracle, so the driver
-    pins that the pandas-UDF byte handling (slicing, Arrow binary round-
-    trip) is exact, not just row counts.
+    ``frame_decoder`` injects the demux/decode backend: a picklable
+    ``Callable[[bytes, int], list[bytes]]`` → (content, max_frames) → frame
+    byte strings (e.g. ffmpeg keyframe extraction); ``frame_sig`` is always
+    the lowercase hex of the first 8 frame bytes.  Without one,
+    ``decode_real=True`` raises (sandbox boundary) and the surrogate treats
+    the content as a raw frame stream: frame i is bytes
+    [i·frame_len, (i+1)·frame_len) — byte-identical to the SQL oracle, so
+    the driver pins that the pandas-UDF byte handling (slicing, Arrow
+    binary round-trip) is exact, not just row counts.
     """
+    if frame_decoder is None and decode_real:
+        raise NotImplementedError(
+            "real frame decode requires ffmpeg (not in sandbox); inject "
+            "frame_decoder=<callable (bytes, max_frames) -> list[bytes]> "
+            "to use a real backend"
+        )
 
     def frames(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if decode_real:
-            raise NotImplementedError(
-                "real frame decode requires ffmpeg (not in sandbox); "
-                "fixed-stride byte slicing is the surrogate"
-            )
         for pdf in batch_iter:
             rows = []
             for doc_id, ref, content in zip(
                 pdf["doc_id"], pdf["media_ref"], pdf["content"]
             ):
                 b = bytes(content)
-                n_frames = min(max_frames, max(1, len(b) // frame_len))
-                for i in range(n_frames):
-                    fb = b[i * frame_len:(i + 1) * frame_len]
+                if frame_decoder is not None:
+                    frame_list = frame_decoder(b, max_frames)
+                else:
+                    n_frames = min(max_frames, max(1, len(b) // frame_len))
+                    frame_list = [
+                        b[i * frame_len:(i + 1) * frame_len]
+                        for i in range(n_frames)
+                    ]
+                for i, fb in enumerate(frame_list):
                     rows.append(
                         {
                             "doc_id": doc_id,

@@ -66,17 +66,28 @@ def score_text(text: str, lang: str) -> float:
 
 
 def with_perplexity(
-    df: DataFrame, text_col: str = "text", lang_col: str = "lang"
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    scorer=None,
 ) -> DataFrame:
     """Arrow-batched perplexity column; scored per-row with the row's
-    language model (reference: model applied only to matching-language docs)."""
+    language model (reference: model applied only to matching-language docs).
+
+    ``scorer`` is the KenLM swap point: a picklable ``Callable[[str, str],
+    float]`` → (text, lang) → perplexity — e.g. SentencePiece tokenize +
+    ``kenlm.Model`` per-line scoring (perplexity.py:13-55), with models
+    lazy-loaded behind a module-level cache so each executor loads each
+    .arpa/.bin once.  Default: the in-sandbox char-bigram model.
+    """
+    fn = scorer or score_text
 
     @F.pandas_udf(DoubleType())
     def ppl(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
         for pdf in batch_iter:
             yield pd.Series(
                 [
-                    score_text(t or "", lang)
+                    fn(t or "", lang)
                     for t, lang in zip(pdf[text_col], pdf[lang_col])
                 ]
             )

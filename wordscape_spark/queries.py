@@ -494,6 +494,15 @@ def q_fixture_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fixture_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reject side-output over the hand-authored fixtures (min_text gate):
+    oracle is the literal VALUES list in fixtures.py."""
+    from wordscape_spark.fixtures import fixture_rows
+
+    docs = spark.createDataFrame(fixture_rows(), schema=X.INPUT_SCHEMA)
+    return X.rejects(X.extract(docs))
+
+
 def _stream_run(spark: SparkSession, sf_dir: str, dedup: bool) -> DataFrame:
     """Run the streaming extraction (availableNow) into a scratch sink and
     return the materialized output — the driver-gate harness for the
@@ -1437,9 +1446,13 @@ def build_oracle_sql() -> dict[str, str]:
 
     # hand-authored literal expectations — generated by no repo code
     # (wordscape_spark/fixtures.py, FIXTURE_EXPECTED)
-    from wordscape_spark.fixtures import fixture_expected_sql
+    from wordscape_spark.fixtures import (
+        fixture_expected_sql,
+        fixture_rejects_sql,
+    )
 
     oracles["fixture_spans"] = fixture_expected_sql()
+    oracles["fixture_rejects"] = fixture_rejects_sql()
 
     # streaming parity: availableNow stream output == the batch span surface
     oracles["stream_extract"] = f"""
@@ -1537,6 +1550,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_recall": q_ann_ivf_recall,
     "fixture_spans": q_fixture_spans,
+    "fixture_rejects": q_fixture_rejects,
     "stream_extract": q_stream_extract,
     "stream_dedup_extract": q_stream_dedup_extract,
 }

@@ -27,8 +27,14 @@ from wordscape_spark.operators.extract import INPUT_SCHEMA
 def read_docs(spark: SparkSession, location: str) -> DataFrame:
     if location.startswith("iceberg://"):
         return spark.read.format("iceberg").load(location[len("iceberg://"):])
-    df = spark.read.schema(INPUT_SCHEMA).parquet(location)
-    return df
+    df = spark.read.parquet(location)
+    # keep the maintained n_spans size column when the producer wrote it
+    # (extract's salt split prunes on it via row-group stats); otherwise
+    # project exactly the contract columns
+    cols = ["doc_id", "spans"] + (
+        ["n_spans"] if "n_spans" in df.columns else []
+    )
+    return df.select(*cols)
 
 
 def read_jsonl(spark: SparkSession, location: str, schema=None) -> DataFrame:
