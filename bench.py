@@ -505,7 +505,7 @@ def run_jaccard_cap() -> dict:
     (bench_dir / "JACCARD.md").write_text(
         f"""# BENCH/JACCARD — hot-shingle cap for exact n-gram Jaccard
 
-Corpus: {n_docs} docs — the sf documents table with a shared ~75-word
+Corpus: {n_docs} docs — the sf documents table with a shared ~30-word
 boilerplate paragraph appended to EVERY doc (its shingles have document
 frequency {n_docs}: the pathological case where the postings self-join
 generates O(n²) candidate rows per hot shingle, and shared boilerplate

@@ -128,7 +128,10 @@ def parse_elements(
 
     for kind, text, media_ref, _off in ordered:
         text = text or ""
-        tag, fields = sig.parse_fields(kind)
+        # cheap tag extraction first; full field parsing only for the tags
+        # that need it (body runs — the bulk — parse once inside parse_run
+        # instead of twice)
+        tag = kind.partition(";")[0]
         if tag == "r":
             r = sig.parse_run(kind, text)
             key = ("r", r.par)
@@ -154,6 +157,7 @@ def parse_elements(
                     underline=r.underline)
             )
         elif tag in ("hp", "fp", "xp"):
+            _, fields = sig.parse_fields(kind)
             key = (tag, fields.get("p", "0"))
             if key != cur_key:
                 elements.append(StreamPar(tag=tag, text=""))
@@ -162,6 +166,7 @@ def parse_elements(
             assert isinstance(el, StreamPar)
             el.text += text
         elif tag == "sdt":
+            _, fields = sig.parse_fields(kind)
             elements.append(
                 Sdt(gallery=fields.get("g", ""), text=text,
                     form=fields.get("f", ""))
@@ -183,6 +188,7 @@ def parse_elements(
             elements.append(PageBreak())
             cur_key = None
         elif tag == "meta":
+            _, fields = sig.parse_fields(kind)
             elements.append(Meta(key=fields.get("k", ""), value=text))
             cur_key = None
         else:  # unknown tag: ignore (forward compatibility)
@@ -494,7 +500,9 @@ def _list_check_run(text: str) -> bool:
         return False
     if text[0] in tax.NUMBERING_SYMBOLS:
         return True
-    first_word = text.split()[0]
+    # maxsplit=1: only the first word is needed — a full split of a long
+    # paragraph was the hottest line of the content-aware pass
+    first_word = text.split(None, 1)[0]
     for follower in tax.NUMBERING_FOLLOWERS:
         for pattern_matches in (
             _match_number_follower(first_word, follower),

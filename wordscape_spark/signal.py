@@ -247,5 +247,8 @@ def resolve_run_props(run: RunSignal) -> tuple[float, bool | None, bool | None]:
 
 def is_whitespace(text: str) -> bool:
     """A run is whitespace if empty after removing space/newline/tab/CR
-    (ref: heuristics/utils.py:200-213)."""
-    return not text.replace(" ", "").replace("\n", "").replace("\t", "").replace("\r", "")
+    (ref: heuristics/utils.py:200-213).  strip() of exactly those chars is
+    equivalent to the reference's remove-all test (empty-after-removal ⇔
+    every char is in the set ⇔ empty-after-strip) without building four
+    intermediate strings."""
+    return not text.strip(" \n\t\r")
