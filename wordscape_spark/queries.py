@@ -564,6 +564,36 @@ def q_stream_dedup_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/lineage/resume (plans/checkpoint.py) as a driver-gated
+    query: run the bucketed extraction, inject a failure after 3 buckets,
+    RESUME, and return the lineage totals — which must equal the
+    independent dual-dialect counts over the serialization CTE.  Pins that
+    a killed run resumes idempotently with no bucket lost or re-counted
+    (the reference's recovery-list reconciliation, table-ified —
+    cc_parse_merge_and_recover_urls.py:71-101)."""
+    import pathlib
+    import shutil
+
+    from wordscape_spark.plans import checkpoint as CP
+
+    docs = _interleaved(spark, sf_dir).select("doc_id", "spans")
+    base = pathlib.Path("/root/repo/data/ckpt_gate") / (
+        f"sf{datagen.sf_from_dir(sf_dir):g}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    try:
+        CP.run_extract_checkpointed(
+            spark, docs, str(base), n_buckets=8, fail_after=3
+        )
+    except RuntimeError:
+        pass  # the injected mid-run kill
+    CP.run_extract_checkpointed(spark, docs, str(base), n_buckets=8)
+    return CP.metrics_table(spark, str(base)).select(
+        "total_docs", "total_ok", "total_rejected"
+    )
+
+
 def q_docx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star input path: raw OOXML/.docx byte streams → zip +
     document.xml walk (operators/docx.py) → span grammar → classifier.
@@ -1468,6 +1498,14 @@ def build_oracle_sql() -> dict[str, str]:
     FROM (SELECT DISTINCT text FROM gated)
     """
 
+    # checkpoint/resume lineage totals == independent doc/gate counts
+    oracles["checkpoint_resume"] = serial_cte + """
+    SELECT CAST((SELECT count(*) FROM alldocs) AS BIGINT) AS total_docs,
+           CAST((SELECT count(*) FROM gated) AS BIGINT) AS total_ok,
+           CAST((SELECT count(*) FROM alldocs) -
+                (SELECT count(*) FROM gated) AS BIGINT) AS total_rejected
+    """
+
     oracles["doc_core_props"] = f"""
     WITH raw AS (
       SELECT doc_id, u.kind AS kind, u.text AS v
@@ -1553,4 +1591,5 @@ QUERIES = {
     "fixture_rejects": q_fixture_rejects,
     "stream_extract": q_stream_extract,
     "stream_dedup_extract": q_stream_dedup_extract,
+    "checkpoint_resume": q_checkpoint_resume,
 }
