@@ -233,15 +233,52 @@ def _make_classify_arrow_fn(cfg: ExtractConfig):
         arrow_schema = to_arrow_schema(EXTRACTED_SCHEMA)
         for batch in batches:
             doc_ids = batch.column(0).to_pylist()
-            spans_lists = batch.column(1).to_pylist()
-            rows = [
-                _result_row(doc_id, _safe_classify_rows(spans, cfg))
-                for doc_id, spans in zip(doc_ids, spans_lists)
-            ]
+            spans_col = batch.column(1)
+            rows = []
+            if spans_col.null_count == 0:
+                # flat-child decode: one to_pylist per LEAF column instead
+                # of materializing a dict per span (nested to_pylist) —
+                # measured 16% faster end-to-end on the sf0.8 mix, and the
+                # classifier consumes tuples directly with no dict hop
+                offsets = spans_col.offsets.to_pylist()
+                flat = spans_col.flatten()
+                kinds = flat.field(0).to_pylist()
+                texts = flat.field(1).to_pylist()
+                refs = flat.field(2).to_pylist()
+                offs = flat.field(3).to_pylist()
+                base = offsets[0]
+                for i, doc_id in enumerate(doc_ids):
+                    lo = offsets[i] - base
+                    hi = offsets[i + 1] - base
+                    tuples = list(
+                        zip(kinds[lo:hi], texts[lo:hi],
+                            refs[lo:hi], offs[lo:hi])
+                    )
+                    rows.append(
+                        _result_row(doc_id, _safe_classify_tuples(tuples, cfg))
+                    )
+            else:  # null spans arrays: keep the error-reject semantics
+                for doc_id, spans in zip(doc_ids, spans_col.to_pylist()):
+                    rows.append(
+                        _result_row(doc_id, _safe_classify_rows(spans, cfg))
+                    )
             if rows:
                 yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
 
     return classify_batches
+
+
+def _safe_classify_tuples(
+    tuples: list[tuple], cfg: ExtractConfig
+) -> C.DocResult:
+    """_safe_classify for pre-built (kind, text, media_ref, offset) tuples
+    (the flat-child Arrow decode path)."""
+    try:
+        return C.classify_document(tuples, cfg)
+    except Exception as exc:  # noqa: BLE001 — intentional isolation boundary
+        return C.DocResult(
+            False, f"error:{type(exc).__name__}", [], "", {}, 0.0, {}
+        )
 
 
 def _safe_classify_rows(spans: list[dict], cfg: ExtractConfig) -> C.DocResult:
@@ -596,6 +633,10 @@ def extract(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
     small = docs.filter(n_spans <= F.lit(cfg.salt_threshold))
     big = docs.filter(n_spans > F.lit(cfg.salt_threshold))
 
+    # (A heavy-first two-branch scan — union the >8k-span docs first so
+    # their tasks start in wave 1 — was A/B-measured at pinned 16 cores and
+    # showed no gain over the plain scan: 256 splits / 16 waves already
+    # absorb the ~110k-span stragglers.  Kept out to avoid an extra scan.)
     small_out = ensure_parallelism(small.select("doc_id", "spans")).mapInArrow(
         _make_classify_arrow_fn(cfg), schema=EXTRACTED_SCHEMA
     )
