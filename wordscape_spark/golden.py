@@ -166,7 +166,10 @@ def _gen_model_tables(sf_dir: str, out: pathlib.Path) -> None:
     """Per-document model scores over the documents table: perplexity (E3)
     and trigram language ID (E1) — same pure-Python model functions the
     pandas UDFs apply per Arrow batch."""
-    from wordscape_spark.operators.langid_trigram import classify_text
+    from wordscape_spark.operators.langid_trigram import (
+        classify_text,
+        serialize_topk,
+    )
     from wordscape_spark.operators.perplexity import score_text
 
     docs = pq.read_table(
@@ -188,6 +191,7 @@ def _gen_model_tables(sf_dir: str, out: pathlib.Path) -> None:
                 "doc_id": row["doc_id"],
                 "top_lang": top_lang,
                 "top_lang_score": top_score,
+                "languages_topk": serialize_topk(langs),
             }
         )
     pq.write_table(pa.Table.from_pylist(ppl_rows), out / "perplexity.parquet")

@@ -80,10 +80,18 @@ def classify_text(text: str, top_k: int = DEFAULT_CONFIG.top_k_languages) -> dic
 LANGID_SCHEMA = StructType(
     [
         StructField("languages", MapType(StringType(), DoubleType())),
+        StructField("languages_topk", StringType()),
         StructField("top_lang", StringType()),
         StructField("top_lang_score", DoubleType()),
     ]
 )
+
+
+def serialize_topk(langs: dict[str, float]) -> str:
+    """Canonical hash-comparable form of the top-k map: entries in the
+    model's (-conf, label) order, scores as integer parts-per-million
+    (float formatting cannot drift between engines)."""
+    return "|".join(f"{k}:{round(v * 1_000_000)}" for k, v in langs.items())
 
 
 def with_trigram_langid(
@@ -114,6 +122,7 @@ def with_trigram_langid(
                 rows.append(
                     {
                         "languages": langs,
+                        "languages_topk": serialize_topk(langs),
                         "top_lang": top[0],
                         "top_lang_score": top[1],
                     }
@@ -123,6 +132,7 @@ def with_trigram_langid(
     out = df.withColumn("_lid", lid(F.col(text_col)))
     return (
         out.withColumn("languages", F.col("_lid.languages"))
+        .withColumn("languages_topk", F.col("_lid.languages_topk"))
         .withColumn("top_lang", F.col("_lid.top_lang"))
         .withColumn("top_lang_score", F.col("_lid.top_lang_score"))
         .drop("_lid")

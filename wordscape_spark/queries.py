@@ -744,6 +744,9 @@ def q_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         "top_lang",
         "top_lang_score",
+        # E1 shape parity: serialized top-k {__label__xx: conf} map
+        # (inference.py:31-44), hashed by the driver
+        "languages_topk",
     )
 
 
@@ -1305,7 +1308,7 @@ def build_oracle_sql() -> dict[str, str]:
     """
 
     oracles["langid_trigram"] = f"""
-    SELECT doc_id, top_lang, top_lang_score
+    SELECT doc_id, top_lang, top_lang_score, languages_topk
     FROM read_parquet('{gold}/langid3.parquet')
     """
 
