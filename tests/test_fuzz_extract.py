@@ -112,3 +112,38 @@ def test_fuzz_salted_matches_oracle(spark):
         assert g["text"] == expected.text, doc_id
         assert dict(g["counts"]) == expected.counts, doc_id
         assert g["quality"] == pytest.approx(expected.quality), doc_id
+
+
+def test_fuzz_flat_decode_path(spark):
+    """Same adversarial docs through the UNSALTED hot path (mapInArrow with
+    flat-child leaf decode — no per-span dicts): must still equal the
+    single-node oracle span-for-span."""
+    rng = random.Random(20260817)
+    cfg = dataclasses.replace(DEFAULT_CONFIG, min_text_chars=0)
+    docs = {f"ff-{i:04d}": fuzz_doc(rng) for i in range(300)}
+
+    rows = [
+        Row(
+            doc_id=doc_id,
+            spans=[
+                Row(kind=k, text=t, media_ref=m, offset=o)
+                for (k, t, m, o) in spans
+            ],
+        )
+        for doc_id, spans in docs.items()
+    ]
+    df = spark.createDataFrame(rows, schema=X.INPUT_SCHEMA)
+    got = {r["doc_id"]: r for r in X.extract(df, cfg).collect()}
+
+    for doc_id, spans in docs.items():
+        expected = C.classify_document(spans, cfg)
+        g = got[doc_id]
+        assert g["ok"] == expected.ok, doc_id
+        got_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in g["spans"]
+        ]
+        assert got_spans == expected.spans, doc_id
+        assert g["text"] == expected.text, doc_id
+        assert dict(g["counts"]) == expected.counts, doc_id
+        assert g["quality"] == pytest.approx(expected.quality), doc_id
