@@ -242,10 +242,14 @@ def _make_classify_arrow_fn(cfg: ExtractConfig):
                 # classifier consumes tuples directly with no dict hop
                 offsets = spans_col.offsets.to_pylist()
                 flat = spans_col.flatten()
-                kinds = flat.field(0).to_pylist()
-                texts = flat.field(1).to_pylist()
-                refs = flat.field(2).to_pylist()
-                offs = flat.field(3).to_pylist()
+                # field access is BY NAME: a conforming table whose struct
+                # children are ordered differently (read_docs normalizes,
+                # but callers can hand extract() any DataFrame) must not be
+                # silently decoded in the wrong order
+                kinds = flat.field("kind").to_pylist()
+                texts = flat.field("text").to_pylist()
+                refs = flat.field("media_ref").to_pylist()
+                offs = flat.field("offset").to_pylist()
                 base = offsets[0]
                 for i, doc_id in enumerate(doc_ids):
                     lo = offsets[i] - base
@@ -433,7 +437,12 @@ def _make_chunk_classify_fn(cfg: ExtractConfig):
     def classify_chunks(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
-        heuristics_cache: dict[str, C.FontHeuristics] = {}
+        from collections import OrderedDict
+
+        # bounded per-task LRU: evict one entry at a time so a task
+        # interleaving chunks of >64 mega-docs re-derives only the coldest
+        # heuristics map, not all of them
+        heuristics_cache: OrderedDict[str, C.FontHeuristics] = OrderedDict()
         for pdf in batches:
             rows = []
             for doc_id, chunk_idx, spans, state in zip(
@@ -447,8 +456,9 @@ def _make_chunk_classify_fn(cfg: ExtractConfig):
                         h = _heuristics_from_state(state, cfg)
                         heuristics_cache[doc_id] = h
                         if len(heuristics_cache) > 64:
-                            heuristics_cache.clear()
-                            heuristics_cache[doc_id] = h
+                            heuristics_cache.popitem(last=False)
+                    else:
+                        heuristics_cache.move_to_end(doc_id)
                     elements = C.parse_elements(_spans_to_tuples(spans))
                     out_spans, decisions, counts, span_pages, pages = (
                         C.classify_elements(elements, h)
@@ -627,11 +637,18 @@ def extract(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
     # BENCH/PRUNING.md).  Tables without the column fall back to
     # ``size(spans)``, which both branches must compute post-scan.
     if "n_spans" in docs.columns:
+        # NULL n_spans (imperfect producer metadata) satisfies neither
+        # predicate — route NULLs down the small path so no row is silently
+        # dropped; IsNotNull on the big branch still pushes down.
         n_spans = F.col("n_spans")
+        small = docs.filter(
+            (n_spans <= F.lit(cfg.salt_threshold)) | n_spans.isNull()
+        )
+        big = docs.filter(n_spans > F.lit(cfg.salt_threshold))
     else:
         n_spans = F.size("spans")
-    small = docs.filter(n_spans <= F.lit(cfg.salt_threshold))
-    big = docs.filter(n_spans > F.lit(cfg.salt_threshold))
+        small = docs.filter(n_spans <= F.lit(cfg.salt_threshold))
+        big = docs.filter(n_spans > F.lit(cfg.salt_threshold))
 
     # (A heavy-first two-branch scan — union the >8k-span docs first so
     # their tasks start in wave 1 — was A/B-measured at pinned 16 cores and

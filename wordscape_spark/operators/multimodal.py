@@ -245,7 +245,10 @@ def frame_sample(
             ):
                 b = bytes(content)
                 if frame_decoder is not None:
-                    frame_list = frame_decoder(b, max_frames)
+                    # defensive slice: the documented contract is "up to
+                    # max_frames" regardless of what the injected backend
+                    # returns
+                    frame_list = frame_decoder(b, max_frames)[:max_frames]
                 else:
                     n_frames = min(max_frames, max(1, len(b) // frame_len))
                     frame_list = [
