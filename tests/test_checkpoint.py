@@ -50,3 +50,41 @@ def test_rerun_completed_is_noop(spark, docs, tmp_path):
     lineage_before = pathlib.Path(out, "lineage.jsonl").read_text()
     CP.run_extract_checkpointed(spark, docs, out, n_buckets=2)
     assert pathlib.Path(out, "lineage.jsonl").read_text() == lineage_before
+
+
+def test_single_extraction_pass_regardless_of_buckets(
+    spark, docs, tmp_path, monkeypatch
+):
+    """The staged design scans/classifies ONCE for any n_buckets — the r3
+    per-bucket rescan (8× read amplification) must not come back."""
+    calls = []
+    real_extract = CP.X.extract
+
+    def counting_extract(df, cfg):
+        calls.append(1)
+        return real_extract(df, cfg)
+
+    monkeypatch.setattr(CP.X, "extract", counting_extract)
+    CP.run_extract_checkpointed(spark, docs, str(tmp_path / "cp"), n_buckets=8)
+    assert len(calls) == 1
+
+
+def test_resume_after_commit_crash_recomputes_nothing(
+    spark, docs, tmp_path, monkeypatch
+):
+    """A crash BETWEEN bucket commits leaves complete staged data; resume
+    must be commit-only — extraction must not run again."""
+    out = str(tmp_path / "cp")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        CP.run_extract_checkpointed(spark, docs, out, n_buckets=4, fail_after=1)
+    assert len(CP.completed_buckets(out)) == 1
+
+    def bomb(df, cfg):
+        raise AssertionError("extract re-ran on a commit-only resume")
+
+    monkeypatch.setattr(CP.X, "extract", bomb)
+    resumed = CP.run_extract_checkpointed(spark, docs, out, n_buckets=4)
+    assert resumed.count() == docs.count()
+    assert sorted(
+        r["bucket"] for r in CP.read_lineage(spark, out).collect()
+    ) == [0, 1, 2, 3]

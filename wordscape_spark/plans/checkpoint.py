@@ -5,24 +5,36 @@ already-processed hashes (cc_parse_merge_and_recover_urls.py:71-101,
 download_dump_data.py:155-160).  Here the same pattern is table-ified:
 
 * the input is split into ``n_buckets`` deterministic partitions
-  (``pmod(hash(doc_id), n))`` — the analog of Iceberg ``bucket(doc_id)``
+  (``pmod(xxhash64(doc_id), n)`` — the analog of Iceberg ``bucket(doc_id)``
   partitions on a real cluster);
-* each bucket's output is written to its own directory, then a row is
-  appended to the ``lineage`` table: (bucket, status, n_docs, n_ok,
-  n_rejected, docs_per_sec);
-* on restart, completed buckets are skipped (anti-join of buckets against
-  lineage) — a killed run resumes idempotently and the final output is
-  byte-identical (tested).
+* ONE extraction pass covers every pending bucket and writes
+  ``partitionBy("bucket")`` into a staging directory (read amplification =
+  the plain extract scan, NOT n_buckets full rescans — a hash-of-id
+  predicate can never push down, so per-bucket filtering would re-read the
+  whole input once per bucket: 800 TB of reads at 100 TB × 8 buckets);
+* each staged bucket is then *committed*: its directory is atomically
+  renamed into the output and a row is appended to the ``lineage`` table
+  (bucket, status, n_docs, n_ok, n_rejected, wall_secs, docs_per_sec);
+* on restart, committed buckets are skipped, and staged-but-uncommitted
+  buckets from a crashed run are reused (the staging write is atomic via
+  Spark's _SUCCESS commit protocol + a manifest), so a crash between
+  commits resumes with ZERO recompute; a crash mid-staging discards the
+  partial staging and re-extracts only the pending buckets.
 
-On a 1000-executor cluster each "bucket" is a partition-granularity commit;
-the driver loop below is the sandbox stand-in for Iceberg's atomic
-per-partition commits + snapshot metadata.
+Staging reuse assumes the input is immutable between kill and resume —
+exactly the guarantee an Iceberg snapshot gives on a real cluster, where
+this driver loop becomes Iceberg's atomic per-partition commits.
+
+Per-bucket ``wall_secs`` attributes the shared staging pass proportionally
+to the bucket's row count (the pass classifies all pending buckets at
+once) plus that bucket's own commit time.
 """
 
 from __future__ import annotations
 
 import json
 import pathlib
+import shutil
 import time
 
 import pyspark.sql.functions as F
@@ -64,6 +76,15 @@ def completed_buckets(out_dir: str) -> set[int]:
     return done
 
 
+def _staged_buckets(staging: pathlib.Path) -> set[int]:
+    """Buckets reusable from a previous (possibly killed) run: requires the
+    Spark _SUCCESS commit marker AND our manifest."""
+    manifest = staging / "_manifest.json"
+    if not manifest.exists() or not (staging / "_SUCCESS").exists():
+        return set()
+    return set(json.loads(manifest.read_text())["buckets"])
+
+
 def run_extract_checkpointed(
     spark: SparkSession,
     docs: DataFrame,
@@ -72,54 +93,108 @@ def run_extract_checkpointed(
     cfg: ExtractConfig = DEFAULT_CONFIG,
     fail_after: int | None = None,
 ) -> DataFrame:
-    """Run extraction bucket-by-bucket with resume.
+    """Run extraction with per-bucket commit + resume, scanning the input
+    ONCE regardless of ``n_buckets``.
 
-    ``fail_after`` aborts after N buckets (test hook for kill/resume).
-    Returns the unioned extracted output read back from disk.
+    ``fail_after`` aborts after N bucket commits (test hook for
+    kill/resume).  Returns the unioned extracted output read from disk.
     """
     out = pathlib.Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    docs = docs.withColumn(
-        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
-    )
-    done = completed_buckets(str(out))
     lineage = _lineage_path(str(out))
+    staging = out / "_staging"
 
-    processed = 0
-    for bucket in range(n_buckets):
-        if bucket in done:
-            continue  # idempotent resume: skip committed buckets
-        t0 = time.monotonic()
-        part = docs.filter(F.col("bucket") == bucket).drop("bucket")
-        extracted = X.extract(part, cfg)
-        target = out / f"bucket={bucket}"
-        extracted.write.mode("overwrite").parquet(str(target))
-        res = (
-            spark.read.parquet(str(target))
-            .agg(
-                F.count("*").alias("n"),
-                F.sum(F.col("ok").cast("long")).alias("n_ok"),
+    done = completed_buckets(str(out))
+    pending = [b for b in range(n_buckets) if b not in done]
+
+    staging_wall = 0.0
+    if pending:
+        staged = _staged_buckets(staging)
+        if not set(pending) <= staged:
+            # (re-)stage: one extraction pass over every pending bucket.
+            # The bucket assignment is recomputed on the OUTPUT from doc_id
+            # (deterministic), so extract() needs no passthrough column.
+            shutil.rmtree(staging, ignore_errors=True)
+            t0 = time.monotonic()
+            bucket_col = F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast(
+                "int"
             )
-            .first()
-        )
-        wall = time.monotonic() - t0
-        row = {
-            "bucket": bucket,
-            "status": "done",
-            "n_docs": int(res["n"] or 0),
-            "n_ok": int(res["n_ok"] or 0),
-            "n_rejected": int((res["n"] or 0) - (res["n_ok"] or 0)),
-            "wall_secs": round(wall, 3),
-            "docs_per_sec": round((res["n"] or 0) / wall, 3) if wall > 0 else 0.0,
-        }
-        # append-only commit record — written *after* the bucket's data
-        with lineage.open("a") as f:
-            f.write(json.dumps(row) + "\n")
-        processed += 1
-        if fail_after is not None and processed >= fail_after:
-            raise RuntimeError(f"injected failure after {processed} buckets")
+            part = docs.withColumn("bucket", bucket_col)
+            if done:  # resume with fresh staging: skip committed buckets
+                part = part.filter(F.col("bucket").isin(pending))
+            extracted = X.extract(part.drop("bucket"), cfg).withColumn(
+                "bucket", bucket_col
+            )
+            (
+                extracted.repartition("bucket")
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(str(staging))
+            )
+            staging_wall = time.monotonic() - t0
+            (staging / "_manifest.json").write_text(
+                json.dumps(
+                    {"buckets": pending, "staging_wall": round(staging_wall, 3)}
+                )
+            )
+        else:
+            # crash happened between commits: staged data is complete,
+            # resume is commit-only with zero recompute
+            staging_wall = float(
+                json.loads((staging / "_manifest.json").read_text()).get(
+                    "staging_wall", 0.0
+                )
+            )
 
-    return spark.read.parquet(str(out / "bucket=*"))
+        # per-bucket counts for proportional wall attribution (reads only
+        # the staged OUTPUT's ok column — never the input again)
+        if any(staging.glob("bucket=*")):
+            stats = {
+                int(r["bucket"]): (int(r["n"]), int(r["n_ok"] or 0))
+                for r in spark.read.parquet(str(staging))
+                .groupBy("bucket")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.col("ok").cast("long")).alias("n_ok"),
+                )
+                .collect()
+            }
+        else:  # every pending bucket was empty
+            stats = {}
+        total_staged = sum(n for n, _ in stats.values()) or 1
+
+        commits = 0
+        for bucket in pending:
+            t0 = time.monotonic()
+            n, n_ok = stats.get(bucket, (0, 0))
+            src = staging / f"bucket={bucket}"
+            dst = out / f"bucket={bucket}"
+            shutil.rmtree(dst, ignore_errors=True)
+            if src.exists():
+                src.rename(dst)  # atomic on one filesystem
+            else:
+                dst.mkdir(parents=True)  # empty bucket: commit the marker
+            wall = (time.monotonic() - t0) + staging_wall * (n / total_staged)
+            row = {
+                "bucket": bucket,
+                "status": "done",
+                "n_docs": n,
+                "n_ok": n_ok,
+                "n_rejected": n - n_ok,
+                "wall_secs": round(wall, 3),
+                "docs_per_sec": round(n / wall, 3) if wall > 0 else 0.0,
+            }
+            # append-only commit record — written *after* the bucket's data
+            with lineage.open("a") as f:
+                f.write(json.dumps(row) + "\n")
+            commits += 1
+            if fail_after is not None and commits >= fail_after:
+                raise RuntimeError(f"injected failure after {commits} buckets")
+        shutil.rmtree(staging, ignore_errors=True)
+
+    return spark.read.option("basePath", str(out)).parquet(
+        str(out / "bucket=*")
+    )
 
 
 def metrics_table(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -572,26 +572,37 @@ def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     a killed run resumes idempotently with no bucket lost or re-counted
     (the reference's recovery-list reconciliation, table-ified —
     cc_parse_merge_and_recover_urls.py:71-101)."""
-    import pathlib
     import shutil
+    import tempfile
 
     from wordscape_spark.plans import checkpoint as CP
 
     docs = _interleaved(spark, sf_dir).select("doc_id", "spans")
-    base = pathlib.Path("/root/repo/data/ckpt_gate") / (
-        f"sf{datagen.sf_from_dir(sf_dir):g}"
-    )
-    shutil.rmtree(base, ignore_errors=True)
+    # session-scoped tmp dir (not a repo path): the run's side effects must
+    # never collide with a concurrent harness or a stale previous run
+    base = tempfile.mkdtemp(prefix="wordscape_ckpt_")
     try:
-        CP.run_extract_checkpointed(
-            spark, docs, str(base), n_buckets=8, fail_after=3
+        try:
+            CP.run_extract_checkpointed(
+                spark, docs, base, n_buckets=8, fail_after=3
+            )
+        except RuntimeError:
+            pass  # the injected mid-run kill
+        CP.run_extract_checkpointed(spark, docs, base, n_buckets=8)
+        # materialize BEFORE the tmp dir is removed — the driver collects
+        # the returned DataFrame after this function exits
+        row = (
+            CP.metrics_table(spark, base)
+            .select("total_docs", "total_ok", "total_rejected")
+            .first()
         )
-    except RuntimeError:
-        pass  # the injected mid-run kill
-    CP.run_extract_checkpointed(spark, docs, str(base), n_buckets=8)
-    return CP.metrics_table(spark, str(base)).select(
-        "total_docs", "total_ok", "total_rejected"
-    )
+        return spark.createDataFrame(
+            [(int(row["total_docs"]), int(row["total_ok"]),
+              int(row["total_rejected"]))],
+            "total_docs BIGINT, total_ok BIGINT, total_rejected BIGINT",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def q_docx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
