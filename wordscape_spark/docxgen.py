@@ -47,7 +47,13 @@ def _onoff(tag: str, v: bool | None) -> str:
 
 
 def _t(text: str) -> str:
-    return f'<w:t xml:space="preserve">{escape(text)}</w:t>'
+    # carriage returns must be written as character references: an XML
+    # parser normalizes literal \r to \n on read (XML 1.0 §2.11), which
+    # would erase the heading-continuation signal the classifier honors
+    return (
+        f'<w:t xml:space="preserve">'
+        f'{escape(text, {chr(13): "&#13;"})}</w:t>'
+    )
 
 
 class _Builder:
