@@ -5,7 +5,7 @@ behavior is resume-from-recovery-lists.  The Spark-native incremental story
 is Structured Streaming: new parquet files landing in a directory are
 micro-batched through the *identical* classification operator
 (`extract` works unchanged on streaming DataFrames because its lazy DAG is
-mapInPandas + filters), with exactly-once sink semantics via the stream
+mapInArrow + filters), with exactly-once sink semantics via the stream
 checkpoint — the streaming twin of plans/checkpoint.py.
 
 ``availableNow`` triggers give batch-equivalent runs (tested equal to the
@@ -41,10 +41,13 @@ def stream_extract(
     """Stream documents → classified spans, exactly-once into parquet.
 
     Note: the streaming path uses the single-pass classifier for every doc
-    (no salted path — a streaming micro-batch is already row-bounded)."""
+    (no salted path — a streaming micro-batch is already row-bounded) and
+    the same mapInArrow flat-child decode as the batch hot path (measured
+    ~2x over mapInPandas on this schema; mapInArrow works unchanged on
+    streaming DataFrames)."""
     docs = read_doc_stream(spark, input_dir)
-    extracted = docs.select("doc_id", "spans").mapInPandas(
-        X._make_classify_fn(cfg), schema=X.EXTRACTED_SCHEMA
+    extracted = docs.select("doc_id", "spans").mapInArrow(
+        X._make_classify_arrow_fn(cfg), schema=X.EXTRACTED_SCHEMA
     )
     writer = (
         extracted.writeStream.format("parquet")
@@ -76,8 +79,8 @@ def stream_dedup_extract(
     ``withWatermark`` + ``dropDuplicatesWithinWatermark`` (dedup horizon) or
     periodically compact to the batch bytehash-history anti-join."""
     docs = read_doc_stream(spark, input_dir)
-    extracted = docs.select("doc_id", "spans").mapInPandas(
-        X._make_classify_fn(cfg), schema=X.EXTRACTED_SCHEMA
+    extracted = docs.select("doc_id", "spans").mapInArrow(
+        X._make_classify_arrow_fn(cfg), schema=X.EXTRACTED_SCHEMA
     )
     # dedup only accepted docs: every reject has text='' and would otherwise
     # collapse onto sha256('') — the first reject would shadow all later ones.
@@ -109,8 +112,8 @@ def stream_quality_metrics(
     processed, ok-rate, mean quality.  Start it with foreachBatch/memory sink.
     """
     docs = read_doc_stream(spark, input_dir)
-    extracted = docs.select("doc_id", "spans").mapInPandas(
-        X._make_classify_fn(cfg), schema=X.EXTRACTED_SCHEMA
+    extracted = docs.select("doc_id", "spans").mapInArrow(
+        X._make_classify_arrow_fn(cfg), schema=X.EXTRACTED_SCHEMA
     )
     stamped = extracted.withColumn("ts", F.current_timestamp())
     return (
