@@ -42,6 +42,8 @@ _DEP_MODULES = (
     "datagen.py",
     "operators/perplexity.py",
     "operators/langid_trigram.py",
+    "models.py",
+    "resources/tiny.arpa",
     "operators/similarity.py",
     "operators/maldoc.py",
     "operators/multimodal.py",
@@ -196,6 +198,26 @@ def _gen_model_tables(sf_dir: str, out: pathlib.Path) -> None:
         )
     pq.write_table(pa.Table.from_pylist(ppl_rows), out / "perplexity.parquet")
     pq.write_table(pa.Table.from_pylist(lid_rows), out / "langid3.parquet")
+
+    # file-backed ARPA scorer (models.py): distributed == single-node pin
+    # for the per-executor artifact loader; the ARPA math itself is pinned
+    # against hand-computed literals in tests/test_models.py
+    from wordscape_spark.models import TINY_ARPA_PATH, _arpa_model
+
+    arpa = _arpa_model(TINY_ARPA_PATH)
+    arpa_rows = [
+        {
+            "doc_id": row["doc_id"],
+            "ppl_ppm": int(
+                round(
+                    (arpa.perplexity(row["text"] or "")
+                     if row["lang"] == "en" else 0.0) * 1_000_000
+                )
+            ),
+        }
+        for row in docs
+    ]
+    pq.write_table(pa.Table.from_pylist(arpa_rows), out / "arpa_ppl.parquet")
 
 
 def _pseudo_media(doc_id: str, media_ref: str) -> tuple[bytes, int]:

@@ -57,10 +57,17 @@ def classify_text(text: str, top_k: int = DEFAULT_CONFIG.top_k_languages) -> dic
     """{__label__xx: confidence} for the top-k languages (softmax over mean
     trigram log-likelihoods); empty text → {__label__unknown: 1.0}
     (ref: inference.py:44-47)."""
+    return classify_with_tables(text, _model(), top_k)
+
+
+def classify_with_tables(
+    text: str, model: dict[str, dict[str, float]], top_k: int
+) -> dict[str, float]:
+    """The scoring math over an explicit table — shared by the in-memory
+    model and the file-backed artifact loader (models.py)."""
     t = " " + (text or "").lower().strip() + " "
     if len(t) < 5:
         return {UNKNOWN: 1.0}
-    model = _model()
     grams = [t[i:i + 3] for i in range(len(t) - 2)]
     means = {}
     for lang, table in model.items():

@@ -605,6 +605,48 @@ def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_langid_file_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 with a FILE-BACKED model artifact: the serialized trigram table is
+    loaded from disk once per executor through the fastText swap point
+    (models.file_trigram_classifier → with_trigram_langid(model=…)), the
+    same path a real lid.176.ftz would take (inference.py:8-27).  Output is
+    byte-identical to the in-memory model, so the oracle is the SAME golden
+    table as langid_trigram — green means file-backed == in-memory across
+    the whole distributed run."""
+    from wordscape_spark import models as M
+    from wordscape_spark.operators import langid_trigram as L
+
+    out = L.with_trigram_langid(
+        _docs(spark, sf_dir), model=M.file_trigram_classifier()
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "top_lang",
+        "top_lang_score",
+        "languages_topk",
+    )
+
+
+def q_perplexity_arpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 with a FILE-BACKED KenLM-format artifact: a pure-python ARPA
+    reader (models.ArpaModel) over the bundled tiny.arpa, lazy-loaded once
+    per executor through the KenLM swap point
+    (with_perplexity(scorer=…)), scored only for matching-language docs
+    (pp_compute_perplexity.py:27-43).  Scores as integer ppm.  Oracle:
+    golden parquet (distributed == single-node); the ARPA backoff math is
+    independently pinned by hand-computed literals in tests/test_models.py."""
+    from wordscape_spark import models as M
+    from wordscape_spark.operators.perplexity import with_perplexity
+
+    out = with_perplexity(
+        _docs(spark, sf_dir), scorer=M.file_perplexity_scorer()
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(F.col("perplexity") * 1_000_000).cast("long").alias("ppl_ppm"),
+    )
+
+
 def q_docx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star input path: raw OOXML/.docx byte streams → zip +
     document.xml walk (operators/docx.py) → span grammar → classifier.
@@ -1323,6 +1365,15 @@ def build_oracle_sql() -> dict[str, str]:
     FROM read_parquet('{gold}/langid3.parquet')
     """
 
+    # file-backed model must be byte-identical to the in-memory model:
+    # SAME golden table as langid_trigram
+    oracles["langid_file_model"] = oracles["langid_trigram"]
+
+    oracles["perplexity_arpa"] = f"""
+    SELECT doc_id, CAST(ppl_ppm AS BIGINT) AS ppl_ppm
+    FROM read_parquet('{gold}/arpa_ppl.parquet')
+    """
+
     oracles["media_features"] = f"""
     SELECT doc_id, media_ref, CAST(n_bytes AS BIGINT) AS n_bytes,
            byte_mean, phash
@@ -1588,6 +1639,8 @@ QUERIES = {
     "embed_near_dup": q_embed_near_dup,
     "whitelist_perplexity": q_whitelist_perplexity,
     "langid_trigram": q_langid_trigram,
+    "langid_file_model": q_langid_file_model,
+    "perplexity_arpa": q_perplexity_arpa,
     "span_dedup": q_span_dedup,
     "dedup_pipeline": q_dedup_pipeline,
     "token_budget": q_token_budget,
