@@ -1,0 +1,138 @@
+"""Legacy .doc (Word 97 binary) ingestion: the spec-built writer
+(docgen_doc) and the independent reader (operators/doc_legacy) must
+round-trip paragraph structure exactly, across the miniFAT and FAT storage
+paths, mixed cp1252/UTF-16 piece encodings, and Prc-prefixed CLXs."""
+
+import struct
+
+import pytest
+
+from wordscape_spark import datagen
+from wordscape_spark.docgen_doc import (
+    build_doc,
+    ensure_doc,
+    spans_to_paragraph_items,
+)
+from wordscape_spark.operators import extract as X
+from wordscape_spark.operators.doc_legacy import (
+    CfbFile,
+    doc_to_spans,
+    extract_doc_paragraphs,
+    parse_doc_bytes,
+)
+
+
+def test_roundtrip_small_doc_uses_ministream():
+    items = ["Hello world", "ünïcode ★ piece", None, "after the break"]
+    data = build_doc(items)
+    cfb = CfbFile(data)
+    wd = next(e for e in cfb.entries if e["name"] == "WordDocument")
+    assert wd["size"] < 4096  # stored in the ministream
+    assert extract_doc_paragraphs(data) == items
+
+
+def test_roundtrip_large_doc_uses_fat_chain():
+    items = [f"Paragraph {i} padded out with enough text to leave the "
+             "mini stream far behind" for i in range(120)]
+    data = build_doc(items)
+    cfb = CfbFile(data)
+    wd = next(e for e in cfb.entries if e["name"] == "WordDocument")
+    assert wd["size"] >= 4096
+    assert extract_doc_paragraphs(data) == items
+
+
+def test_piece_table_mixes_encodings():
+    """≥9-char text splits into 3 pieces with seams mid-paragraph; the
+    even pieces are cp1252-compressed when encodable."""
+    items = ["abcdefghijklmnopqrstuvwxyz0123456789 more text here"]
+    data = build_doc(items)
+    cfb = CfbFile(data)
+    table = cfb.stream("0Table")
+    # skip the deliberate Prc, then count PCDs
+    pos = 3 + struct.unpack_from("<H", table, 1)[0]
+    assert table[pos] == 0x02
+    lcb = struct.unpack_from("<I", table, pos + 1)[0]
+    n = (lcb - 4) // 12
+    assert n == 3
+    fcs = [
+        struct.unpack_from("<I", table, pos + 5 + 4 * (n + 1) + 8 * i + 2)[0]
+        for i in range(n)
+    ]
+    compressed = [bool(fc & 0x40000000) for fc in fcs]
+    assert compressed == [True, False, True]
+    assert extract_doc_paragraphs(data) == items
+
+
+def test_control_chars_normalized_and_marks_stripped():
+    data = build_doc(["keep\ttab", "strip\x01obj\x02and\x13field\x15marks"])
+    # the writer normalizes input ctrl chars; craft reader-side stripping
+    # coverage by checking the writer's normalization output
+    assert extract_doc_paragraphs(data) == [
+        "keep\ttab", "strip obj and field marks"
+    ]
+
+
+def test_corrupt_bytes_become_reject_rows(spark):
+    rows = [("good", build_doc(["A" * 300])), ("bad", b"\x00" * 64),
+            ("truncated", build_doc(["B" * 300])[:100])]
+    df = spark.createDataFrame(rows, "doc_id string, content binary")
+    out = X.extract(doc_to_spans(df)).select(
+        "doc_id", "ok", "reject_reason"
+    ).collect()
+    got = {r["doc_id"]: (r["ok"], r["reject_reason"]) for r in out}
+    assert got["good"] == (True, None)
+    assert got["bad"][0] is False
+    assert got["truncated"][0] is False
+
+
+def test_interleaved_render_groups_split_paragraphs():
+    """Runs of one paragraph separated by non-run spans merge back into a
+    single paragraph (matching the SQL oracle's GROUP BY par)."""
+    spans = [
+        {"kind": "r;p=0;s=normal", "text": "first ", "offset": 0,
+         "media_ref": None},
+        {"kind": "tc;t=0;r=0;c=0;h=0", "text": "cell", "offset": 1,
+         "media_ref": None},
+        {"kind": "r;p=0;s=normal", "text": "part", "offset": 2,
+         "media_ref": None},
+        {"kind": "pb", "text": None, "offset": 3, "media_ref": None},
+        {"kind": "r;p=1;s=normal", "text": "second", "offset": 4,
+         "media_ref": None},
+    ]
+    assert spans_to_paragraph_items(spans) == ["first part", None, "second"]
+
+
+def test_sf0001_doc_chain_matches_interleaved_serialization(spark):
+    """Full chain at sf0.001: render → parse → classify; doc text must
+    equal the body-run serialization computed directly from the
+    interleaved table (the dual-dialect oracle's model)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    ctrl = re.compile("[\x00-\x08\x0a-\x1f]")
+    expected = {}
+    for row in pq.read_table(datagen.ensure_interleaved(0.001)).to_pylist():
+        pars: dict[int, list] = {}
+        for s in row["spans"]:
+            if s["kind"].startswith("r;"):
+                m = re.search(r"p=(\d+)", s["kind"])
+                if m:
+                    pars.setdefault(int(m.group(1)), []).append(
+                        (s["offset"], s["text"] or "")
+                    )
+        ptexts = [
+            ctrl.sub(" ", "".join(t for _, t in sorted(v)))
+            for _, v in sorted(pars.items())
+        ]
+        text = "\n".join(t for t in ptexts if t)
+        if len(text) >= 200:
+            expected[row["doc_id"]] = text
+
+    path = ensure_doc(0.001)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in X.extract(doc_to_spans(spark.read.parquet(path)))
+        .filter("ok").select("doc_id", "text").collect()
+    }
+    assert got == expected and len(expected) > 100

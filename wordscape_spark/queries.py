@@ -661,6 +661,24 @@ def q_docx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.extract(spans).filter("ok").select("doc_id", "text")
 
 
+def q_doc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 analog, legacy binary: raw .doc (Word 97) byte streams →
+    [MS-CFB] compound-file walk + [MS-DOC] piece-table text recovery
+    (operators/doc_legacy.py) → span grammar → classifier.  The binary
+    table is rendered deterministically from the interleaved table by
+    docgen_doc (independent spec-built writer), and the oracle is
+    dual-dialect SQL over the interleaved body runs — fully independent of
+    both the writer and the reader.  Ref boundary this replaces at text
+    level: soffice/conversion_manager.py:161-223 (.doc→.docx via
+    LibreOffice unoserver)."""
+    from wordscape_spark import docgen_doc
+    from wordscape_spark.operators import doc_legacy as DL
+
+    path = docgen_doc.ensure_doc(datagen.sf_from_dir(sf_dir))
+    spans = DL.doc_to_spans(spark.read.parquet(path))
+    return X.extract(spans).filter("ok").select("doc_id", "text")
+
+
 def q_doc_core_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D12: core properties + w:lang distinct tags (oxml_metadata.py:33-58).
     Oracle: direct SQL over the interleaved meta spans (independent of the
@@ -1539,6 +1557,33 @@ def build_oracle_sql() -> dict[str, str]:
     SELECT doc_id, text FROM read_parquet('{gold}/doc_meta.parquet')
     """
 
+    # legacy .doc ingestion: text-level render → CFB/piece-table parse →
+    # classify must reproduce the body-run serialization computed HERE from
+    # the interleaved table alone (independent of writer, reader, and
+    # classifier): runs grouped per paragraph in offset order,
+    # control chars normalized to spaces (the renderer's [MS-DOC] text
+    # rule), non-empty paragraphs joined by \\n, min_text gate >= 200
+    oracles["doc_ingest"] = f"""
+    WITH runs AS (
+      SELECT doc_id,
+             CAST(regexp_extract(u.kind, 'p=([0-9]+)', 1) AS INT) AS par,
+             u."offset" AS off, coalesce(u.text, '') AS t
+      FROM (SELECT doc_id, unnest(spans) AS u FROM read_parquet('{ipath}'))
+      WHERE u.kind LIKE 'r;%'
+    ),
+    pars AS (
+      SELECT doc_id, par,
+             regexp_replace(string_agg(t, '' ORDER BY off),
+                            '[\\x00-\\x08\\x0A-\\x1F]', ' ', 'g') AS ptext
+      FROM runs GROUP BY doc_id, par
+    ),
+    serial AS (
+      SELECT doc_id, string_agg(ptext, chr(10) ORDER BY par) AS text
+      FROM pars WHERE length(ptext) > 0 GROUP BY doc_id
+    )
+    SELECT doc_id, text FROM serial WHERE length(text) >= 200
+    """
+
     # hand-authored literal expectations — generated by no repo code
     # (wordscape_spark/fixtures.py, FIXTURE_EXPECTED)
     from wordscape_spark.fixtures import (
@@ -1652,6 +1697,7 @@ QUERIES = {
     "page_semi_join": q_page_semi_join,
     "doc_core_props": q_doc_core_props,
     "docx_ingest": q_docx_ingest,
+    "doc_ingest": q_doc_ingest,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_recall": q_ann_ivf_recall,
     "fixture_spans": q_fixture_spans,
