@@ -230,6 +230,35 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.keep_cluster_representatives(corpus, clusters).select("doc_id")
 
 
+def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., MOSS): k-gram
+    md5-prefix hashes, windowed rightmost-min selection — all native
+    expressions (operators/fingerprint.py).  Oracle: the identical
+    formulation in DuckDB SQL (dual-dialect, fully independent)."""
+    from wordscape_spark.operators import fingerprint as FP
+
+    docs = _docs(spark, sf_dir).filter("doc_id < 120")
+    return FP.winnow_fingerprints(docs, id_col="doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("pos").cast("long").alias("pos"),
+        "fp",
+    )
+
+
+def q_fingerprint_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-overlap near-dup pairs by shared winnowing fingerprints (the
+    boilerplate/quotation detector whole-document sketches dilute), with
+    the hot-fingerprint document-frequency cap.  Dual-dialect SQL oracle."""
+    from wordscape_spark.operators import fingerprint as FP
+
+    docs = _docs(spark, sf_dir).filter("doc_id < 300")
+    return FP.fingerprint_matches(docs, id_col="doc_id").select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "n_shared",
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _docs(spark, sf_dir).filter("doc_id < 30")
     return D.simhash(df)
@@ -1119,6 +1148,57 @@ def build_oracle_sql() -> dict[str, str]:
     )
     """
 
+    # winnowing fingerprints — identical formulation, DuckDB dialect
+    # (md5-prefix hash parity with Spark's conv() verified; (hash, pos)
+    # packed into one BIGINT so windowed min applies the rightmost-tie rule)
+    winnow_cte = """
+    WITH norm AS (
+      SELECT doc_id,
+             substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                    1, 100000) AS t
+      FROM documents WHERE doc_id < {lim}
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             CAST(concat('0x', substr(md5(substr(t, i, 8)), 1, 8))
+                  AS BIGINT) AS h
+      FROM norm, unnest(generate_series(1, length(t) - 8 + 1)) AS u(i)
+      WHERE length(t) >= 8
+    ),
+    packed AS (
+      SELECT doc_id, pos, h * 1048576 + (1048575 - pos) AS v FROM grams
+    ),
+    picks AS (
+      SELECT doc_id,
+             min(v) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS vmin,
+             lead(pos, 3) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS frame_end
+      FROM packed
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id,
+             CAST(1048575 - (vmin % 1048576) AS BIGINT) AS pos,
+             CAST(vmin // 1048576 AS BIGINT) AS fp
+      FROM picks WHERE frame_end IS NOT NULL
+    )
+    """
+
+    oracles["fingerprint_winnow"] = (
+        winnow_cte.format(lim=120) + "SELECT doc_id, pos, fp FROM fps"
+    )
+
+    oracles["fingerprint_matches"] = winnow_cte.format(lim=300) + """
+    , docfps AS (SELECT DISTINCT doc_id, fp FROM fps),
+    rare AS (
+      SELECT fp FROM docfps GROUP BY fp HAVING count(*) <= 1000
+    ),
+    kept AS (SELECT d.doc_id, d.fp FROM docfps d JOIN rare USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2
+    """
+
     oracles["dedup_simhash"] = f"""
     SELECT CAST(doc_id AS VARCHAR) AS doc_id,
            {D.simhash_expr_duck('text')} AS simhash
@@ -1664,6 +1744,8 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
+    "fingerprint_winnow": q_fingerprint_winnow,
+    "fingerprint_matches": q_fingerprint_matches,
     "doc_whitelist": q_doc_whitelist,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
