@@ -136,3 +136,46 @@ def test_sf0001_doc_chain_matches_interleaved_serialization(spark):
         .filter("ok").select("doc_id", "text").collect()
     }
     assert got == expected and len(expected) > 100
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: arbitrary paragraph lists round-trip byte-exactly
+# ---------------------------------------------------------------------------
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+
+_par_text = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",),  # no lone surrogates
+    ),
+    max_size=120,
+)
+_items = st.lists(
+    st.one_of(_par_text, st.none()),  # None = page break
+    max_size=12,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(_items)
+def test_fuzz_roundtrip_paragraphs(items):
+    """For any paragraph list, parse(build(items)) recovers the writer's
+    normalized view: ctrl chars → spaces, reader-side mark stripping, and
+    the trailing empty paragraph the final \\r can add."""
+    import re
+
+    data = build_doc(items)
+    got = extract_doc_paragraphs(data)
+
+    ctrl = re.compile("[\x00-\x08\x0a-\x1f]")
+    strip = dict.fromkeys([0x01, 0x02, 0x05, 0x08, 0x13, 0x14, 0x15])
+    expected = [
+        None if it is None
+        else ctrl.sub(" ", it).translate(strip)
+        for it in items
+    ]
+    if not items or items[-1] is None:
+        expected.append("")  # final \r after a page break / empty doc
+    assert got == expected
