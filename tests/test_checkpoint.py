@@ -69,6 +69,31 @@ def test_single_extraction_pass_regardless_of_buckets(
     assert len(calls) == 1
 
 
+def test_crash_between_rename_and_lineage_keeps_data(spark, docs, tmp_path):
+    """A crash AFTER a bucket's rename but BEFORE its lineage append must
+    not wipe the renamed data on resume (the rename is the data commit;
+    the lineage row is the bookkeeping commit)."""
+    out = tmp_path / "cp"
+    with pytest.raises(RuntimeError, match="injected failure"):
+        CP.run_extract_checkpointed(
+            spark, docs, str(out), n_buckets=4, fail_after=1
+        )
+    # simulate the crash window: rename one staged-but-uncommitted bucket
+    # into the output without writing its lineage row
+    staged = sorted((out / "_staging").glob("bucket=*"))
+    assert staged
+    victim = staged[0]
+    victim.rename(out / victim.name)
+
+    resumed = CP.run_extract_checkpointed(spark, docs, str(out), n_buckets=4)
+    assert resumed.count() == docs.count()
+    lineage = CP.read_lineage(spark, str(out)).collect()
+    assert sorted(r["bucket"] for r in lineage) == [0, 1, 2, 3]
+    assert all(r["n_docs"] > 0 for r in lineage)
+    metrics = CP.metrics_table(spark, str(out)).first()
+    assert metrics["total_docs"] == docs.count()
+
+
 def test_resume_after_commit_crash_recomputes_nothing(
     spark, docs, tmp_path, monkeypatch
 ):

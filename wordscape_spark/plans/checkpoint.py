@@ -125,6 +125,14 @@ def run_extract_checkpointed(
             extracted = X.extract(part.drop("bucket"), cfg).withColumn(
                 "bucket", bucket_col
             )
+            # hash-distribute by bucket before the partitioned write —
+            # Iceberg's write.distribution-mode=hash: one task per bucket
+            # writes one file run instead of every task writing a sliver
+            # into every bucket dir (task×bucket small files kill object
+            # stores at scale).  The cost is one shuffle of the extracted
+            # output; size n_buckets ≥ cluster write parallelism so the
+            # write stage isn't throttled (8 here is a sandbox default —
+            # a 1000-executor run wants 1024+ buckets).
             (
                 extracted.repartition("bucket")
                 .write.partitionBy("bucket")
@@ -169,9 +177,22 @@ def run_extract_checkpointed(
             n, n_ok = stats.get(bucket, (0, 0))
             src = staging / f"bucket={bucket}"
             dst = out / f"bucket={bucket}"
-            shutil.rmtree(dst, ignore_errors=True)
             if src.exists():
+                shutil.rmtree(dst, ignore_errors=True)
                 src.rename(dst)  # atomic on one filesystem
+            elif dst.exists():
+                # a prior run crashed BETWEEN this rename and its lineage
+                # append: the data is already in place — keep it (never
+                # wipe a renamed bucket) and recount it for the lineage row
+                res = (
+                    spark.read.parquet(str(dst))
+                    .agg(
+                        F.count("*").alias("n"),
+                        F.sum(F.col("ok").cast("long")).alias("n_ok"),
+                    )
+                    .first()
+                )
+                n, n_ok = int(res["n"] or 0), int(res["n_ok"] or 0)
             else:
                 dst.mkdir(parents=True)  # empty bucket: commit the marker
             wall = (time.monotonic() - t0) + staging_wall * (n / total_staged)
