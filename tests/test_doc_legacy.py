@@ -63,6 +63,15 @@ def test_piece_table_mixes_encodings():
     assert extract_doc_paragraphs(data) == items
 
 
+def test_1table_stream_variant():
+    """fWhichTblStm=1 routes the CLX through a 1Table stream."""
+    items = ["First paragraph text", None, "second one"]
+    data = build_doc(items, which_table=1)
+    names = {e["name"] for e in CfbFile(data).entries if e["type"] == 2}
+    assert names == {"WordDocument", "1Table"}
+    assert extract_doc_paragraphs(data) == items
+
+
 def test_control_chars_normalized_and_marks_stripped():
     data = build_doc(["keep\ttab", "strip\x01obj\x02and\x13field\x15marks"])
     # the writer normalizes input ctrl chars; craft reader-side stripping

@@ -91,8 +91,12 @@ def _encode_pieces(text: str) -> tuple[bytes, bytes, int]:
     return bytes(data), clx, cps[-1]
 
 
-def build_doc(items: list[str | None]) -> bytes:
-    """Render paragraphs (``None`` = page break) into .doc bytes."""
+def build_doc(items: list[str | None], which_table: int = 0) -> bytes:
+    """Render paragraphs (``None`` = page break) into .doc bytes.
+
+    ``which_table`` selects the table-stream name (0Table/1Table) and sets
+    the FIB ``fWhichTblStm`` flag accordingly — Word emits both in the
+    wild (the flag flips on incremental save)."""
     parts = []
     for item in items:
         if item is None:
@@ -108,7 +112,7 @@ def build_doc(items: list[str | None]) -> bytes:
     fib = bytearray(_FIB_SIZE)
     struct.pack_into("<H", fib, 0x0000, 0xA5EC)   # wIdent
     struct.pack_into("<H", fib, 0x0002, 0x00C1)   # nFib (Word 97)
-    struct.pack_into("<H", fib, 0x000A, 0x0000)   # flags: fWhichTblStm=0
+    struct.pack_into("<H", fib, 0x000A, 0x0200 if which_table else 0)
     struct.pack_into("<H", fib, 0x0020, 0x000E)   # csw
     struct.pack_into("<H", fib, 0x003E, 0x0016)   # cslw
     struct.pack_into("<I", fib, 0x0040, _FIB_SIZE + len(text_bytes))  # cbMac
@@ -118,7 +122,9 @@ def build_doc(items: list[str | None]) -> bytes:
     struct.pack_into("<I", fib, 0x01A6, len(clx))  # lcbClx
 
     word_stream = bytes(fib) + text_bytes
-    return _build_cfb({"WordDocument": word_stream, "0Table": clx})
+    return _build_cfb(
+        {"WordDocument": word_stream, f"{which_table}Table": clx}
+    )
 
 
 # ---------------------------------------------------------------------------
