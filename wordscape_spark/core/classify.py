@@ -495,39 +495,31 @@ def _quote_check(par: BodyPar) -> bool:
     return len(t) > 0 and t[0] == t[-1] and t[0] in tax.QUOTE_SYMBOLS
 
 
+_FOLLOWER_SET = frozenset(tax.NUMBERING_FOLLOWERS)
+
+
 def _list_check_run(text: str) -> bool:
     if len(text) == 0 or text.isspace():
         return False
-    if text[0] in tax.NUMBERING_SYMBOLS:
+    c0 = text[0]
+    if c0 in tax.NUMBERING_SYMBOLS:
         return True
     # maxsplit=1: only the first word is needed — a full split of a long
-    # paragraph was the hottest line of the content-aware pass
+    # paragraph was the hottest line of the content-aware pass.  The
+    # per-follower matcher loop is inlined as set-membership on the char
+    # after the prefix (any follower matching ≡ membership): this is the
+    # hottest predicate of the content-aware pass.
     first_word = text.split(None, 1)[0]
-    for follower in tax.NUMBERING_FOLLOWERS:
-        for pattern_matches in (
-            _match_number_follower(first_word, follower),
-            _match_word_char_follower(first_word, follower),
-        ):
-            if pattern_matches:
-                return True
-    return False
-
-
-def _match_number_follower(word: str, follower: str) -> bool:
+    n = len(first_word)
+    w0 = first_word[0]  # != text[0] when text has leading whitespace
+    # ^\w<follower>
+    if n >= 2 and (w0.isalnum() or w0 == "_") and first_word[1] in _FOLLOWER_SET:
+        return True
     # ^[0-9]+<follower>
     i = 0
-    while i < len(word) and word[i].isdigit():
+    while i < n and first_word[i].isdigit():
         i += 1
-    return i > 0 and i < len(word) and word[i] == follower
-
-
-def _match_word_char_follower(word: str, follower: str) -> bool:
-    # ^\w<follower>
-    return (
-        len(word) >= 2
-        and (word[0].isalnum() or word[0] == "_")
-        and word[1] == follower
-    )
+    return 0 < i < n and first_word[i] in _FOLLOWER_SET
 
 
 def _list_check(par: BodyPar) -> bool:

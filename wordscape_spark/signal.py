@@ -99,7 +99,25 @@ def parse_fields(kind: str) -> tuple[str, dict[str, str]]:
     return tag, fields
 
 
+# kind-string → parsed fields cache: kinds repeat heavily across spans and
+# documents (~6× at the sf0.01 mix), and the split+convert is ~17% of
+# classification; bounded with a cheap epoch clear (the working set of one
+# task re-fills in one batch)
+_RUN_KIND_CACHE: dict[str, tuple] = {}
+_RUN_KIND_CACHE_MAX = 1 << 16
+
+
 def parse_run(kind: str, text: str) -> RunSignal:
+    fields = _RUN_KIND_CACHE.get(kind)
+    if fields is None:
+        if len(_RUN_KIND_CACHE) >= _RUN_KIND_CACHE_MAX:
+            _RUN_KIND_CACHE.clear()
+        fields = tuple(_parse_run_uncached(kind, ""))[:-1]
+        _RUN_KIND_CACHE[kind] = fields
+    return RunSignal(*fields, text)
+
+
+def _parse_run_uncached(kind: str, text: str) -> RunSignal:
     # fast path: the canonical field order emitted by encode_run
     parts = kind.split(";")
     if (
