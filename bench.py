@@ -93,6 +93,10 @@ def run_bench() -> dict:
     # headline: full extraction (classified spans + metadata for every doc)
     timed("extract", lambda: _noop_write(X.extract(docs)))
 
+    # the span-equality surface alone (extract_slim): what a spans-only
+    # consumer pays — no metadata columns through the Arrow return leg
+    timed("extract_slim", lambda: _noop_write(X.extract_slim(docs)))
+
     # quality-gate / auxiliary operators at bench scale
     timed(
         "dedup_minhash",

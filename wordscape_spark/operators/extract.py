@@ -101,6 +101,30 @@ EXTRACTED_SCHEMA = StructType(
     ]
 )
 
+# the span-equality surface alone (the north-star per-row invariant):
+# skips doc text, page records, entity-count/props maps and text metrics —
+# the return-leg Arrow→JVM conversion of those columns is the single
+# largest cost of the full row at scale (they roughly triple the output
+# string volume: doc text + per-page text duplicate every span text)
+EXTRACTED_SLIM_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("ok", BooleanType()),
+        StructField("reject_reason", StringType()),
+        StructField("spans", ArrayType(OUT_SPAN_TYPE)),
+    ]
+)
+
+
+def _result_row_slim(doc_id: str, res: C.DocResult) -> dict:
+    return {
+        "doc_id": doc_id,
+        "ok": res.ok,
+        "reject_reason": res.reject_reason,
+        "spans": _out_spans_to_rows(res.spans, res.span_pages),
+    }
+
+
 _CHUNK_SCHEMA = StructType(
     [
         StructField("doc_id", StringType()),
@@ -216,7 +240,9 @@ def _make_classify_fn(cfg: ExtractConfig):
     return classify_batches
 
 
-def _make_classify_arrow_fn(cfg: ExtractConfig):
+def _make_classify_arrow_fn(
+    cfg: ExtractConfig, row_fn=None, out_schema=None
+):
     """mapInArrow variant of the classifier — the hot path.
 
     Skips the Arrow↔pandas round-trip entirely: the nested spans column is
@@ -224,13 +250,22 @@ def _make_classify_arrow_fn(cfg: ExtractConfig):
     a RecordBatch with an explicit schema (no pandas object-column
     inference).  Measured ~2× end-to-end extraction throughput vs
     mapInPandas on this schema — pandas materializes every nested struct as
-    object arrays of dicts twice (in and out)."""
+    object arrays of dicts twice (in and out).
+
+    ``row_fn``/``out_schema`` select the output shape: the full
+    EXTRACTED_SCHEMA row (default) or the slim span-surface row
+    (``extract_slim``)."""
     import pyarrow as pa
+
+    if row_fn is None:
+        row_fn = _result_row
+    if out_schema is None:
+        out_schema = EXTRACTED_SCHEMA
 
     def classify_batches(batches):
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        arrow_schema = to_arrow_schema(EXTRACTED_SCHEMA)
+        arrow_schema = to_arrow_schema(out_schema)
         for batch in batches:
             doc_ids = batch.column(0).to_pylist()
             spans_col = batch.column(1)
@@ -259,12 +294,12 @@ def _make_classify_arrow_fn(cfg: ExtractConfig):
                             refs[lo:hi], offs[lo:hi])
                     )
                     rows.append(
-                        _result_row(doc_id, _safe_classify_tuples(tuples, cfg))
+                        row_fn(doc_id, _safe_classify_tuples(tuples, cfg))
                     )
             else:  # null spans arrays: keep the error-reject semantics
                 for doc_id, spans in zip(doc_ids, spans_col.to_pylist()):
                     rows.append(
-                        _result_row(doc_id, _safe_classify_rows(spans, cfg))
+                        row_fn(doc_id, _safe_classify_rows(spans, cfg))
                     )
             if rows:
                 yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
@@ -685,6 +720,40 @@ def extract(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
         _make_merge_partials_fn(cfg), schema=EXTRACTED_SCHEMA
     )
 
+    return small_out.unionByName(big_out)
+
+
+def extract_slim(
+    docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Classify every document, emitting ONLY the span-equality surface
+    (EXTRACTED_SLIM_SCHEMA) — for pipelines that consume classified spans
+    without the metadata columns.  Catalyst cannot prune columns through an
+    opaque mapInArrow, so a caller that wants only spans must choose the
+    slim function, not project afterward.  Same classifier, same salted
+    mega-doc handling (the salted branch reuses the full path and projects
+    — mega-docs are rare by construction, so the saving is on the small
+    path where the volume is)."""
+    if "n_spans" in docs.columns:
+        n_spans = F.col("n_spans")
+        small = docs.filter(
+            (n_spans <= F.lit(cfg.salt_threshold)) | n_spans.isNull()
+        )
+        big = docs.filter(n_spans > F.lit(cfg.salt_threshold))
+    else:
+        n_spans = F.size("spans")
+        small = docs.filter(n_spans <= F.lit(cfg.salt_threshold))
+        big = docs.filter(n_spans > F.lit(cfg.salt_threshold))
+
+    small_out = ensure_parallelism(small.select("doc_id", "spans")).mapInArrow(
+        _make_classify_arrow_fn(
+            cfg, row_fn=_result_row_slim, out_schema=EXTRACTED_SLIM_SCHEMA
+        ),
+        schema=EXTRACTED_SLIM_SCHEMA,
+    )
+    big_out = extract(big, cfg).select(
+        "doc_id", "ok", "reject_reason", "spans"
+    )
     return small_out.unionByName(big_out)
 
 

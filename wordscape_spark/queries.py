@@ -422,6 +422,26 @@ def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_spans_slim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The slim extraction path (extract_slim: span surface only, no
+    metadata columns through the Arrow return leg) must produce the
+    IDENTICAL span stream — same golden oracle as extract_spans, so green
+    proves slim == full on the north-star surface."""
+    slim = X.extract_slim(_interleaved(spark, sf_dir))
+    return (
+        X.spans_out(slim)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("offset"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.page").alias("page"),
+        )
+    )
+
+
 def q_extract_entity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracted = _extracted(spark, sf_dir)
     return (
@@ -1369,6 +1389,9 @@ def build_oracle_sql() -> dict[str, str]:
     FROM read_parquet('{gold}/spans.parquet')
     """
 
+    # slim path == full path on the span surface: same golden table
+    oracles["extract_spans_slim"] = oracles["extract_spans"]
+
     oracles["extract_entity_counts"] = f"""
     SELECT kind, CAST(sum(n) AS BIGINT) AS total
     FROM read_parquet('{gold}/counts.parquet') GROUP BY kind
@@ -1753,6 +1776,7 @@ QUERIES = {
     "extract_text_metrics": q_extract_text_metrics,
     "extract_reject_counts": q_extract_reject_counts,
     "extract_spans": q_extract_spans,
+    "extract_spans_slim": q_extract_spans_slim,
     "extract_entity_counts": q_extract_entity_counts,
     "extract_quality": q_extract_quality,
     "page_filter": q_page_filter,
