@@ -1,0 +1,65 @@
+"""Gopher/C4 quality rules: hand-checkable values per rule and the
+all-native plan (no Python UDF)."""
+
+from wordscape_spark.operators import quality_rules as QR
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    return {r["doc_id"]: r.asDict() for r in QR.gopher_quality(df).collect()}
+
+
+def test_rule_battery_hand_values(spark):
+    out = _run(spark, [
+        ("clean", "the quick brown fox and the lazy dog have fun with "
+                  "that stick to be sure of it"),
+        ("repeats", "repeat line\nrepeat line\nrepeat line\nunique line"),
+        ("bullets", "• bullet one\n• bullet two\nplain line"),
+        ("symbols", "#### #### #### symbols everywhere ### no stops"),
+        ("empty", ""),
+    ])
+    clean = out["clean"]
+    assert clean["gopher_pass"] and clean["n_words"] == 18
+    assert clean["stop_word_count"] == 9
+    assert clean["alpha_word_frac"] == 1.0
+
+    rep = out["repeats"]
+    # 3 of 4 non-empty lines are duplicates: 3/4 by count
+    assert rep["dup_line_frac"] == 0.75
+    # 3*11 duplicate chars over 3*11 + 11 total line chars
+    assert rep["dup_line_char_frac"] == round(33 / 44, 6)
+    assert not rep["gopher_pass"]
+
+    bul = out["bullets"]
+    assert bul["bullet_line_frac"] == round(2 / 3, 6)
+    assert not bul["gopher_pass"]
+
+    sym = out["symbols"]
+    # 15 '#' occurrences over 8 words
+    assert sym["symbol_word_ratio"] == round(15 / 8, 6)
+    assert not sym["gopher_pass"]
+
+    emp = out["empty"]
+    assert emp["n_words"] == 0 and not emp["gopher_pass"]
+
+
+def test_ellipsis_and_word_len_gates(spark):
+    out = _run(spark, [
+        ("ellipsis", "first line...\nsecond line…\nthe third line stays"),
+        ("longwords", "the pneumonoultramicroscopic volcanoconiosis "
+                      "supercalifragilistic expialidocious and that have "
+                      "to be with of"),
+    ])
+    ell = out["ellipsis"]
+    assert ell["ellipsis_line_frac"] == round(2 / 3, 6)
+    lw = out["longwords"]
+    assert lw["mean_word_len"] > 3.0  # gate is on the mean, not max
+
+
+def test_plan_is_native(spark):
+    df = spark.createDataFrame([("d", "x y z")], "doc_id string, text string")
+    plan = (
+        QR.gopher_quality(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

@@ -1,0 +1,221 @@
+"""Gopher/C4-style document quality rules — repetition and composition
+filters for large-scale training-data curation.
+
+Public provenance: the rule battery follows Rae et al. 2021 ("Scaling
+Language Models: ... Gopher", §A1.1 quality filtering) and Raffel et al.
+2020 (C4 cleaning heuristics).  It complements the reference's whitelist
+gates (E7/E8 — quality-score/perplexity percentiles per language) with the
+content-shape rules a 100 TB curation run applies FIRST, because they are
+pure column expressions: every metric below is native Spark SQL (zero
+Python), stays inside whole-stage codegen, and is expressible identically
+in the DuckDB oracle dialect.
+
+Metrics (per document, over whitespace words and newline lines):
+
+* ``n_words``, ``mean_word_len`` — Gopher keeps 50..100k words, mean word
+  length 3..10;
+* ``stop_word_count`` — ≥ 2 of a small English stop set (the "has real
+  sentences" proxy);
+* ``alpha_word_frac`` — fraction of words containing at least one
+  alphabetic character (Gopher ≥ 0.8);
+* ``symbol_word_ratio`` — (# + … + ...) per word (Gopher ≤ 0.1);
+* ``bullet_line_frac`` / ``ellipsis_line_frac`` — lines starting with a
+  bullet (≤ 0.9) / ending in an ellipsis (≤ 0.3);
+* ``dup_line_frac`` / ``dup_line_char_frac`` — fraction of non-empty
+  lines that are exact duplicates of another line in the SAME document,
+  by count (≤ 0.3) and by character mass (≤ 0.2) — the document-local
+  repetition signals (corpus-level dedup is operators/dedup.py's job);
+* ``gopher_pass`` — the conjunction, with the word-count band widened to
+  the synthetic corpus (min_words configurable).
+
+Scale notes: all but the dup-line metrics are per-row expressions (no
+shuffle).  The dup-line metrics explode lines and re-aggregate per
+(doc_id, line) then per doc_id — two partial-aggregated shuffles keyed by
+doc_id, the same shape as any per-doc groupBy, no skew beyond document
+size (bounded by the length cap upstream).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# thresholds (Gopher §A1.1; word band adapted to corpus scale)
+MAX_MEAN_WORD_LEN = 10.0
+MIN_MEAN_WORD_LEN = 3.0
+MAX_SYMBOL_WORD_RATIO = 0.1
+MAX_BULLET_LINE_FRAC = 0.9
+MAX_ELLIPSIS_LINE_FRAC = 0.3
+MIN_ALPHA_WORD_FRAC = 0.8
+MIN_STOP_WORDS = 2
+MAX_DUP_LINE_FRAC = 0.3
+MAX_DUP_LINE_CHAR_FRAC = 0.2
+
+
+def _count_occurrences(col: str, needle: str) -> F.Column:
+    """Occurrences of a literal substring — (len(text) - len(removed)) /
+    len(needle), identical in both dialects."""
+    return (
+        (F.length(col) - F.length(F.replace(F.col(col), F.lit(needle))))
+        / len(needle)
+    ).cast("long")
+
+
+def word_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-row word/line composition metrics (no shuffle)."""
+    words = F.expr("filter(split(lower(t), '\\\\s+'), w -> w != '')")
+    lines = F.expr("filter(split(t, '\\n'), l -> l != '')")
+    out = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+        .withColumn("words", words)
+        .withColumn("lines", lines)
+        .withColumn("n_words", F.size("words").cast("long"))
+        .withColumn("n_lines", F.size("lines").cast("long"))
+        .withColumn(
+            "mean_word_len",
+            F.round(
+                F.when(
+                    F.col("n_words") > 0,
+                    F.aggregate(
+                        "words", F.lit(0).cast("long"),
+                        lambda acc, w: acc + F.length(w),
+                    ) / F.col("n_words"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+        .withColumn(
+            "stop_word_count",
+            F.size(
+                F.expr(
+                    "filter(words, w -> w IN ("
+                    + ", ".join(f"'{s}'" for s in STOP_WORDS)
+                    + "))"
+                )
+            ).cast("long"),
+        )
+        .withColumn(
+            "alpha_word_frac",
+            F.round(
+                F.when(
+                    F.col("n_words") > 0,
+                    F.size(
+                        F.expr("filter(words, w -> w rlike '[a-z]')")
+                    ) / F.col("n_words"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+        .withColumn(
+            "symbol_word_ratio",
+            F.round(
+                F.when(
+                    F.col("n_words") > 0,
+                    (
+                        _count_occurrences("t", "#")
+                        + _count_occurrences("t", "...")
+                        + _count_occurrences("t", "…")
+                    ) / F.col("n_words"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+        .withColumn(
+            "bullet_line_frac",
+            F.round(
+                F.when(
+                    F.col("n_lines") > 0,
+                    F.size(
+                        F.expr(
+                            "filter(lines, l -> l rlike "
+                            "'^\\\\s*[\\u2022\\\\-\\\\*]')"
+                        )
+                    ) / F.col("n_lines"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+        .withColumn(
+            "ellipsis_line_frac",
+            F.round(
+                F.when(
+                    F.col("n_lines") > 0,
+                    F.size(
+                        F.expr(
+                            "filter(lines, l -> l rlike "
+                            "'(\\\\.\\\\.\\\\.|\\u2026)\\\\s*$')"
+                        )
+                    ) / F.col("n_lines"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+        .drop("words", "lines", "t")
+    )
+    return out
+
+
+def dup_line_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, dup_line_frac, dup_line_char_frac) — document-local exact
+    line repetition, by line count and by character mass."""
+    lines = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.expr(f"filter(split({text_col}, '\\n'), l -> l != '')")
+            ).alias("line"),
+        )
+        .groupBy("doc_id", "line")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return lines.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+            / F.sum("cnt"),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("cnt") > 1, F.col("cnt") * F.length("line")
+                ).otherwise(0)
+            )
+            / F.sum(F.col("cnt") * F.length("line")),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 10,
+) -> DataFrame:
+    """All metrics + the conjunctive ``gopher_pass`` flag.
+
+    One broadcast-free equi-join on doc_id between the per-row metrics and
+    the dup-line aggregate (both sides partial-aggregated)."""
+    wm = word_metrics(df, text_col=text_col, id_col=id_col)
+    dl = dup_line_metrics(df, text_col=text_col, id_col=id_col)
+    out = wm.join(dl, "doc_id", "left").fillna(
+        {"dup_line_frac": 0.0, "dup_line_char_frac": 0.0}
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= min_words)
+        & F.col("mean_word_len").between(MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN)
+        & (F.col("symbol_word_ratio") <= MAX_SYMBOL_WORD_RATIO)
+        & (F.col("bullet_line_frac") <= MAX_BULLET_LINE_FRAC)
+        & (F.col("ellipsis_line_frac") <= MAX_ELLIPSIS_LINE_FRAC)
+        & (F.col("alpha_word_frac") >= MIN_ALPHA_WORD_FRAC)
+        & (F.col("stop_word_count") >= MIN_STOP_WORDS)
+        & (F.col("dup_line_frac") <= MAX_DUP_LINE_FRAC)
+        & (F.col("dup_line_char_frac") <= MAX_DUP_LINE_CHAR_FRAC),
+    )

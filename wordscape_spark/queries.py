@@ -230,6 +230,23 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.keep_cluster_representatives(corpus, clusters).select("doc_id")
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition + composition quality rules (Rae et al.
+    2021 §A1.1; operators/quality_rules.py) — all native expressions.
+    Oracle: the identical rule battery in DuckDB SQL (dual-dialect, fully
+    independent)."""
+    from wordscape_spark.operators import quality_rules as QR
+
+    out = QR.gopher_quality(_docs(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_words", "n_lines", "mean_word_len", "stop_word_count",
+        "alpha_word_frac", "symbol_word_ratio", "bullet_line_frac",
+        "ellipsis_line_frac", "dup_line_frac", "dup_line_char_frac",
+        "gopher_pass",
+    )
+
+
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., MOSS): k-gram
     md5-prefix hashes, windowed rightmost-min selection — all native
@@ -1168,6 +1185,75 @@ def build_oracle_sql() -> dict[str, str]:
     )
     """
 
+    # Gopher quality rules — identical formulation, DuckDB dialect
+    stopset = ", ".join(f"'{s}'" for s in
+                        ("the", "be", "to", "of", "and", "that", "have",
+                         "with"))
+    oracles["gopher_quality"] = f"""
+    WITH base AS (
+      SELECT doc_id, text AS t,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS words,
+             list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
+      FROM documents
+    ),
+    wm AS (
+      SELECT doc_id,
+        CAST(len(words) AS BIGINT) AS n_words,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        round(CASE WHEN len(words) > 0 THEN
+          CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+            / len(words) ELSE 0.0 END, 6) AS mean_word_len,
+        CAST(len(list_filter(words,
+          w -> list_contains([{stopset}], w))) AS BIGINT)
+          AS stop_word_count,
+        round(CASE WHEN len(words) > 0 THEN
+          CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+            AS DOUBLE) / len(words) ELSE 0.0 END, 6) AS alpha_word_frac,
+        round(CASE WHEN len(words) > 0 THEN
+          ((length(t) - length(replace(t, '#', '')))
+           + (length(t) - length(replace(t, '...', ''))) // 3
+           + (length(t) - length(replace(t, '…', ''))))
+          / CAST(len(words) AS DOUBLE) ELSE 0.0 END, 6)
+          AS symbol_word_ratio,
+        round(CASE WHEN len(lines) > 0 THEN
+          CAST(len(list_filter(lines,
+            l -> regexp_matches(l, '^\\s*[•\\-\\*]'))) AS DOUBLE)
+            / len(lines) ELSE 0.0 END, 6) AS bullet_line_frac,
+        round(CASE WHEN len(lines) > 0 THEN
+          CAST(len(list_filter(lines,
+            l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)
+            / len(lines) ELSE 0.0 END, 6) AS ellipsis_line_frac
+      FROM base
+    ),
+    lc AS (
+      SELECT doc_id, line, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(lines) AS line FROM base)
+      GROUP BY doc_id, line
+    ),
+    dl AS (
+      SELECT doc_id,
+        round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+              / CAST(sum(cnt) AS DOUBLE), 6) AS dup_line_frac,
+        round(sum(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END)
+              / CAST(sum(cnt * length(line)) AS DOUBLE), 6)
+          AS dup_line_char_frac
+      FROM lc GROUP BY doc_id
+    )
+    SELECT wm.doc_id, n_words, n_lines, mean_word_len, stop_word_count,
+           alpha_word_frac, symbol_word_ratio, bullet_line_frac,
+           ellipsis_line_frac,
+           coalesce(dup_line_frac, 0.0) AS dup_line_frac,
+           coalesce(dup_line_char_frac, 0.0) AS dup_line_char_frac,
+           (n_words >= 10 AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+            AND stop_word_count >= 2
+            AND coalesce(dup_line_frac, 0.0) <= 0.3
+            AND coalesce(dup_line_char_frac, 0.0) <= 0.2) AS gopher_pass
+    FROM wm LEFT JOIN dl ON wm.doc_id = dl.doc_id
+    """
+
     # winnowing fingerprints — identical formulation, DuckDB dialect
     # (md5-prefix hash parity with Spark's conv() verified; (hash, pos)
     # packed into one BIGINT so windowed min applies the rightmost-tie rule)
@@ -1767,6 +1853,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
+    "gopher_quality": q_gopher_quality,
     "fingerprint_winnow": q_fingerprint_winnow,
     "fingerprint_matches": q_fingerprint_matches,
     "doc_whitelist": q_doc_whitelist,
