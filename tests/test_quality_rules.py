@@ -63,3 +63,21 @@ def test_plan_is_native(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_c4_clean_hand_values(spark):
+    rows = [
+        ("1", "A good sentence stays here.\nshort one\n"
+              "Another proper sentence ends now!\n"
+              "please accept our cookie policy today."),
+        ("2", "no terminal punctuation anywhere\nstill none"),
+        ("3", "He said “fine’\nA question remains here?"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r.asDict() for r in QR.c4_clean(df).collect()}
+    assert out["1"]["clean_text"] == (
+        "A good sentence stays here.\nAnother proper sentence ends now!"
+    )
+    assert out["1"]["n_lines_kept"] == 2 and out["1"]["n_lines_dropped"] == 2
+    assert "2" not in out  # document left empty is dropped
+    assert out["3"]["n_lines_kept"] == 2

@@ -192,6 +192,46 @@ def dup_line_metrics(
     )
 
 
+C4_BAD_PHRASES = ("lorem ipsum", "javascript", "cookie policy",
+                  "terms of use", "privacy policy")
+C4_MIN_LINE_WORDS = 3
+
+
+def c4_clean(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_line_words: int = C4_MIN_LINE_WORDS,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2) — keep only
+    lines that end in terminal punctuation AND have ≥ ``min_line_words``
+    words AND contain no boilerplate phrase; drop documents left empty.
+
+    Returns (doc_id, clean_text, n_lines_kept, n_lines_dropped).  Pure
+    per-row array expressions — no shuffle, no Python."""
+    phrase_pred = " AND ".join(
+        f"NOT contains(lower(l), '{p}')" for p in C4_BAD_PHRASES
+    )
+    kept = F.expr(
+        "filter(filter(split(t, '\\n'), l -> l != ''),"
+        " l -> l rlike '[.!?\"\\u2019]\\\\s*$'"
+        f" AND size(filter(split(l, '\\\\s+'), w -> w != ''))"
+        f" >= {min_line_words}"
+        f" AND {phrase_pred})"
+    )
+    total = F.expr("size(filter(split(t, '\\n'), l -> l != ''))")
+    out = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+        .withColumn("kept", kept)
+        .withColumn("clean_text", F.array_join("kept", "\n"))
+        .withColumn("n_lines_kept", F.size("kept").cast("long"))
+        .withColumn(
+            "n_lines_dropped", (total - F.col("n_lines_kept")).cast("long")
+        )
+        .filter(F.col("n_lines_kept") > 0)
+        .select("doc_id", "clean_text", "n_lines_kept", "n_lines_dropped")
+    )
+    return out
+
+
 def gopher_quality(
     df: DataFrame,
     text_col: str = "text",

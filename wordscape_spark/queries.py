@@ -230,6 +230,19 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.keep_cluster_representatives(corpus, clusters).select("doc_id")
 
 
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (terminal punctuation + min words +
+    boilerplate phrases; Raffel et al. 2020 §2.2), native expressions.
+    Dual-dialect SQL oracle."""
+    from wordscape_spark.operators import quality_rules as QR
+
+    out = QR.c4_clean(_docs(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "clean_text", "n_lines_kept", "n_lines_dropped",
+    )
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition + composition quality rules (Rae et al.
     2021 §A1.1; operators/quality_rules.py) — all native expressions.
@@ -1185,6 +1198,35 @@ def build_oracle_sql() -> dict[str, str]:
     )
     """
 
+    # C4 line cleaning — identical formulation, DuckDB dialect
+    phrase_pred = " AND ".join(
+        f"NOT contains(lower(l), '{p}')"
+        for p in ("lorem ipsum", "javascript", "cookie policy",
+                  "terms of use", "privacy policy")
+    )
+    oracles["c4_clean"] = f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id,
+             list_filter(lines,
+               l -> regexp_matches(l, '[.!?"’]\\s*$')
+               AND len(list_filter(string_split_regex(l, '\\s+'),
+                                   w -> w <> '')) >= 3
+               AND {phrase_pred}) AS kept,
+             len(lines) AS total
+      FROM base
+    )
+    SELECT doc_id,
+           array_to_string(kept, chr(10)) AS clean_text,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept,
+           CAST(total - len(kept) AS BIGINT) AS n_lines_dropped
+    FROM k WHERE len(kept) > 0
+    """
+
     # Gopher quality rules — identical formulation, DuckDB dialect
     stopset = ", ".join(f"'{s}'" for s in
                         ("the", "be", "to", "of", "and", "that", "have",
@@ -1854,6 +1896,7 @@ QUERIES = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
     "gopher_quality": q_gopher_quality,
+    "c4_clean": q_c4_clean,
     "fingerprint_winnow": q_fingerprint_winnow,
     "fingerprint_matches": q_fingerprint_matches,
     "doc_whitelist": q_doc_whitelist,
