@@ -95,3 +95,27 @@ def test_ivf_cell_assignment_covers_corpus(spark, emb):
     ).collect()[0]
     assert agg["lo"] >= 1 and agg["hi"] <= SIM.IVF_NLIST
     assert agg["n"] == agg["n_assigned"]
+
+
+def test_semantic_dedup_keeps_one_per_component(spark):
+    """Planted semantic duplicates: three near-identical vectors collapse
+    to the lowest id; an isolated vector survives."""
+    import pyspark.sql.functions as F
+
+    from wordscape_spark.operators import similarity as S
+
+    base = [1.0] + [0.0] * 15
+    near1 = [0.999, 0.01] + [0.0] * 14
+    near2 = [0.998, 0.02] + [0.0] * 14
+    ortho = [0.0] * 15 + [1.0]
+    rows = [(1, base), (2, near1), (3, near2), (10, ortho)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    kept = sorted(
+        r["doc_id"]
+        # nlist=1: a 4-vector corpus would otherwise get one k-means
+        # cell per vector and no within-cell pairs
+        for r in S.semantic_dedup(df, threshold=0.9, nlist=1).collect()
+    )
+    assert kept == [1, 10]

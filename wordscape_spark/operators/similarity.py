@@ -281,6 +281,80 @@ def with_ivf_cell(
     )
 
 
+def with_ivf_cell_rounded(
+    df: DataFrame,
+    cents: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``with_ivf_cell`` with per-cell scores rounded to 6dp before the
+    argmax — the cross-engine-stable assignment used where a SQL oracle
+    recomputes the same argmax (float fold-association differences between
+    engines are ~1e-9; rounding makes the tie-break identical)."""
+    return (
+        df.withColumn(
+            "_ivf_scores",
+            F.transform(
+                _score_cells(cents, vec_col), lambda s: F.round(s, 6)
+            ),
+        )
+        .withColumn(
+            "ivf_cell",
+            F.expr(
+                "CAST(array_position(_ivf_scores, "
+                "array_max(_ivf_scores)) AS INT)"
+            ),
+        )
+        .drop("_ivf_scores")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = IVF_NLIST,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster embeddings (the IVF k-means cells), mark within-cell pairs with
+    cosine ≥ ``threshold`` as semantic duplicates, connected-components
+    them, and keep the lowest-id representative per component.
+
+    Returns the KEPT (id) rows.  Per the published algorithm, only
+    within-cluster pairs are compared — cross-cluster near-duplicates are
+    the algorithm's accepted miss (that locality is what makes it run at
+    corpus scale: the pair join is an equi-join on the cell id, never a
+    full cross join).  Plan shape: one scan for assignment (native
+    expression), a cell-keyed self-join bounded by cell size, then the
+    O(diameter) min-label rounds of ``duplicate_clusters``."""
+    from wordscape_spark.operators import dedup as D
+
+    cents = train_ivf_centroids(
+        sample_for_training(corpus, id_col, vec_col), nlist
+    )
+    assigned = with_ivf_cell_rounded(corpus, cents, vec_col).select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec"),
+        "ivf_cell",
+    )
+    a = assigned.select(
+        F.col("doc_id").alias("doc_a"), F.col("vec").alias("va"), "ivf_cell"
+    )
+    b = assigned.select(
+        F.col("doc_id").alias("doc_b"), F.col("vec").alias("vb"), "ivf_cell"
+    )
+    pairs = (
+        a.join(b, "ivf_cell")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cos", F.expr(_cosine_expr("va", "vb")))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("doc_a", "doc_b")
+    )
+    clusters = D.duplicate_clusters(pairs)
+    return D.keep_cluster_representatives(
+        corpus.select(F.col(id_col).alias("doc_id")), clusters
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

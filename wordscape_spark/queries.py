@@ -230,6 +230,22 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.keep_cluster_representatives(corpus, clusters).select("doc_id")
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding dedup (operators/similarity.semantic_dedup):
+    k-means cells → within-cell cosine pairs → connected components → keep
+    lowest-id representative.  Oracle: dual-dialect SQL with the driver-
+    trained centroids inlined as literals (a shared model parameter, like
+    the md5 LSH hyperplanes) and the same recursive-CTE closure as
+    dedup_pipeline — assignment, pairing, clustering and representative
+    selection all recomputed independently by DuckDB."""
+    from wordscape_spark.operators import similarity as S
+
+    emb = _emb(spark, sf_dir).filter("vec_id < 300")
+    return S.semantic_dedup(emb, threshold=0.35).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
 def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line-level cleaning (terminal punctuation + min words +
     boilerplate phrases; Raffel et al. 2020 §2.2), native expressions.
@@ -1198,6 +1214,72 @@ def build_oracle_sql() -> dict[str, str]:
     )
     """
 
+    # SemDeDup — centroids recomputed here with the same deterministic
+    # trainer over the same bounded sample (shared model parameter), then
+    # everything else re-derived in pure SQL
+    from wordscape_spark.operators.similarity import train_ivf_centroids
+
+    import pyarrow.parquet as _pq
+
+    _emb_rows = sorted(
+        (
+            r
+            for r in _pq.read_table(
+                f"{ORACLE_SF_DIR}/embeddings.parquet",
+                columns=["vec_id", "embedding"],
+            ).to_pylist()
+            if r["vec_id"] < 300
+        ),
+        key=lambda r: r["vec_id"],
+    )
+    _sem_cents = train_ivf_centroids(
+        [[float(x) for x in r["embedding"]] for r in _emb_rows[:256]]
+    )
+    _cent_values = ",\n      ".join(
+        f"({i + 1}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(_sem_cents)
+    )
+    oracles["semantic_dedup"] = f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < 300
+    ),
+    cents(ci, c) AS (VALUES
+      {_cent_values}
+    ),
+    assigned AS (
+      SELECT vec_id, v,
+        (SELECT ci FROM (
+           SELECT ci, round(list_dot_product(c, v), 6) AS s FROM cents
+         ) ORDER BY s DESC, ci ASC LIMIT 1) AS cell
+      FROM e
+    ),
+    pairs AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+    ),
+    clusters AS (
+      SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+      FROM reach GROUP BY a
+    )
+    SELECT CAST(vec_id AS BIGINT) AS doc_id FROM e
+    WHERE vec_id NOT IN (
+      SELECT vec_id FROM clusters WHERE vec_id != cluster_id
+    )
+    """
+
     # C4 line cleaning — identical formulation, DuckDB dialect
     phrase_pred = " AND ".join(
         f"NOT contains(lower(l), '{p}')"
@@ -1897,6 +1979,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "gopher_quality": q_gopher_quality,
     "c4_clean": q_c4_clean,
+    "semantic_dedup": q_semantic_dedup,
     "fingerprint_winnow": q_fingerprint_winnow,
     "fingerprint_matches": q_fingerprint_matches,
     "doc_whitelist": q_doc_whitelist,
