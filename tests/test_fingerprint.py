@@ -61,3 +61,23 @@ def test_plan_is_native(spark):
     plan = FP.winnow_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_contamination_detects_planted_probe_overlap(spark):
+    from wordscape_spark.operators.fingerprint import contamination_check
+
+    probe_text = "the exact benchmark question appears verbatim in this document body"
+    rows = [
+        ("1", "unrelated prose before " + probe_text + " and after"),
+        ("2", "completely different content with no overlap at all in here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    probes = spark.createDataFrame(
+        [("p1", probe_text)], "probe_id string, text string"
+    )
+    hits = {
+        (r["doc_id"], r["probe_id"]): r["n_shared"]
+        for r in contamination_check(docs, probes, k=5).collect()
+    }
+    assert ("1", "p1") in hits and hits[("1", "p1")] >= 1
+    assert ("2", "p1") not in hits

@@ -103,6 +103,64 @@ def winnow_fingerprints(
     ).distinct()
 
 
+def _word_kgram_hashes(
+    df: DataFrame, text_col: str, id_col: str, out_id: str, k: int
+) -> DataFrame:
+    """(id, gh) — distinct hashed word k-grams per row (normalized words:
+    lowercased, whitespace-split)."""
+    return (
+        df.select(
+            F.col(id_col).alias(out_id),
+            F.expr(
+                f"filter(split(lower({text_col}), '\\\\s+'), w -> w != '')"
+            ).alias("words"),
+        )
+        .filter(F.size("words") >= k)
+        .select(
+            out_id,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(words) - {k} + 1),"
+                    f" i -> concat_ws(' ', slice(words, i, {k})))"
+                )
+            ).alias("gram"),
+        )
+        .select(
+            out_id,
+            F.expr(
+                "CAST(conv(substr(md5(gram), 1, 8), 16, 10) AS BIGINT)"
+            ).alias("gh"),
+        )
+        .distinct()
+    )
+
+
+def contamination_check(
+    docs: DataFrame,
+    probes: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """Benchmark decontamination: (doc_id, probe_id, n_shared) for every
+    corpus document sharing ≥ 1 word ``k``-gram with a probe (evaluation)
+    document — the standard 13-gram contamination rule (GPT-3 appendix C /
+    PaLM-style decontamination; public methodology).
+
+    Scale shape: the probe side is the benchmark suite (small by
+    construction) — its distinct gram hashes broadcast; the corpus side
+    streams through one scan + explode with a broadcast hash join, so no
+    corpus shuffle until the tiny (doc, probe) aggregate."""
+    d = _word_kgram_hashes(docs, text_col, id_col, "doc_id", k)
+    p = _word_kgram_hashes(probes, text_col, probe_id_col, "probe_id", k)
+    return (
+        d.join(F.broadcast(p), "gh")
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 def fingerprint_matches(
     df: DataFrame,
     text_col: str = "text",

@@ -230,6 +230,24 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.keep_cluster_representatives(corpus, clusters).select("doc_id")
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/fingerprint.contamination_check):
+    corpus docs sharing word 8-grams with a probe set (every 97th doc
+    stands in for the benchmark suite; probes ⊆ corpus so self-hits pin
+    the plumbing).  Dual-dialect SQL oracle."""
+    from wordscape_spark.operators import fingerprint as FP
+
+    docs = _docs(spark, sf_dir).filter("doc_id < 400")
+    probes = docs.filter("doc_id % 97 = 0").select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    return FP.contamination_check(docs, probes, k=8).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("probe_id").cast("long").alias("probe_id"),
+        "n_shared",
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style embedding dedup (operators/similarity.semantic_dedup):
     k-means cells → within-cell cosine pairs → connected components → keep
@@ -1214,6 +1232,31 @@ def build_oracle_sql() -> dict[str, str]:
     )
     """
 
+    # decontamination — identical word-8-gram formulation, DuckDB dialect
+    oracles["contamination"] = """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS words
+      FROM documents WHERE doc_id < 400
+    ),
+    dg AS (
+      SELECT DISTINCT doc_id,
+             CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) AS gh
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, len(words) - 8 + 1),
+                 i -> array_to_string(words[i:i+7], ' '))) AS g
+        FROM d WHERE len(words) >= 8
+      )
+    ),
+    pg AS (SELECT doc_id AS probe_id, gh FROM dg WHERE doc_id % 97 = 0)
+    SELECT dg.doc_id, pg.probe_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM dg JOIN pg USING (gh)
+    GROUP BY dg.doc_id, pg.probe_id
+    """
+
     # SemDeDup — centroids recomputed here with the same deterministic
     # trainer over the same bounded sample (shared model parameter), then
     # everything else re-derived in pure SQL
@@ -1980,6 +2023,7 @@ QUERIES = {
     "gopher_quality": q_gopher_quality,
     "c4_clean": q_c4_clean,
     "semantic_dedup": q_semantic_dedup,
+    "contamination": q_contamination,
     "fingerprint_winnow": q_fingerprint_winnow,
     "fingerprint_matches": q_fingerprint_matches,
     "doc_whitelist": q_doc_whitelist,
