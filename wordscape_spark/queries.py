@@ -266,14 +266,18 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line-level cleaning (terminal punctuation + min words +
-    boilerplate phrases; Raffel et al. 2020 §2.2), native expressions.
-    Dual-dialect SQL oracle."""
+    boilerplate phrases; Raffel et al. 2020 §2.2), native expressions —
+    applied to the EXTRACTED document text (the documents table is
+    single-line synthetic prose with no punctuation, which the rule
+    rejects wholesale; extraction output is the realistic input anyway).
+    Oracle: the identical SQL formulation over the golden doc text —
+    the cleaning transformation itself is fully re-derived by DuckDB."""
     from wordscape_spark.operators import quality_rules as QR
 
-    out = QR.c4_clean(_docs(spark, sf_dir))
+    docs = _extracted(spark, sf_dir).filter("ok").select("doc_id", "text")
+    out = QR.c4_clean(docs)
     return out.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        "clean_text", "n_lines_kept", "n_lines_dropped",
+        "doc_id", "clean_text", "n_lines_kept", "n_lines_dropped",
     )
 
 
@@ -1333,7 +1337,7 @@ def build_oracle_sql() -> dict[str, str]:
     WITH base AS (
       SELECT doc_id,
              list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
-      FROM documents
+      FROM read_parquet('{gold}/doc_meta.parquet')
     ),
     k AS (
       SELECT doc_id,
