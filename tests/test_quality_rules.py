@@ -81,3 +81,15 @@ def test_c4_clean_hand_values(spark):
     assert out["1"]["n_lines_kept"] == 2 and out["1"]["n_lines_dropped"] == 2
     assert "2" not in out  # document left empty is dropped
     assert out["3"]["n_lines_kept"] == 2
+
+
+def test_null_text_yields_zero_metrics_not_nulls(spark):
+    df = spark.createDataFrame(
+        [("n", None), ("ok", "the words and that have to be of here now.")],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in QR.gopher_quality(df).collect()}
+    assert out["n"]["n_words"] == 0 and out["n"]["gopher_pass"] is False
+    assert all(v is not None for v in out["n"].values())
+    cleaned = {r["doc_id"] for r in QR.c4_clean(df).collect()}
+    assert cleaned == {"ok"}

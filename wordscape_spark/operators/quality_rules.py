@@ -70,7 +70,11 @@ def word_metrics(
     words = F.expr("filter(split(lower(t), '\\\\s+'), w -> w != '')")
     lines = F.expr("filter(split(t, '\\n'), l -> l != '')")
     out = (
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            # NULL text must yield zero metrics, not NULL-poisoned rows
+            F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+        )
         .withColumn("words", words)
         .withColumn("lines", lines)
         .withColumn("n_words", F.size("words").cast("long"))
@@ -168,7 +172,10 @@ def dup_line_metrics(
         df.select(
             F.col(id_col).alias("doc_id"),
             F.explode(
-                F.expr(f"filter(split({text_col}, '\\n'), l -> l != '')")
+                F.expr(
+                    f"filter(split(coalesce({text_col}, ''), '\\n'),"
+                    " l -> l != '')"
+                )
             ).alias("line"),
         )
         .groupBy("doc_id", "line")
@@ -219,7 +226,10 @@ def c4_clean(
     )
     total = F.expr("size(filter(split(t, '\\n'), l -> l != ''))")
     out = (
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+        )
         .withColumn("kept", kept)
         .withColumn("clean_text", F.array_join("kept", "\n"))
         .withColumn("n_lines_kept", F.size("kept").cast("long"))
