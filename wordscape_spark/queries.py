@@ -2010,16 +2010,24 @@ def build_oracle_sql() -> dict[str, str]:
     return oracles
 
 
+# Registry order is load-bearing: the driver's CORRECTNESS gate verifies the
+# FIRST 50 entries only.  Slots 1-11 therefore carry the queries that lacked an
+# r4 row (checkpoint_resume / doc_ingest had never been driver-verified);
+# round-5 additions go next; long-green stalwarts (green in r3 AND r4) rotate
+# to the tail, where falling past slot 50 costs nothing — the r3/r4 rows
+# already cover them.
 QUERIES = {
-    "a_url_hash_dedup": q_a_url_hash_dedup,
-    "a_doc_id_assign": q_a_doc_id_assign,
-    "a_anti_join": q_a_anti_join,
-    "a_filter_doc_urls": q_a_filter_doc_urls,
-    "a_clean_urls": q_clean_urls,
-    "text_metrics": q_text_metrics,
-    "langid": q_langid,
-    "normalize": q_normalize,
-    "token_counts": q_token_counts,
+    "checkpoint_resume": q_checkpoint_resume,
+    "doc_ingest": q_doc_ingest,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_recall": q_ann_ivf_recall,
+    "fixture_spans": q_fixture_spans,
+    "fixture_rejects": q_fixture_rejects,
+    "stream_extract": q_stream_extract,
+    "stream_dedup_extract": q_stream_dedup_extract,
+    "page_semi_join": q_page_semi_join,
+    "doc_core_props": q_doc_core_props,
+    "docx_ingest": q_docx_ingest,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
@@ -2061,15 +2069,14 @@ QUERIES = {
     "page_meta": q_page_meta,
     "page_langid": q_page_langid,
     "page_whitelist": q_page_whitelist,
-    "page_semi_join": q_page_semi_join,
-    "doc_core_props": q_doc_core_props,
-    "docx_ingest": q_docx_ingest,
-    "doc_ingest": q_doc_ingest,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_ivf_recall": q_ann_ivf_recall,
-    "fixture_spans": q_fixture_spans,
-    "fixture_rejects": q_fixture_rejects,
-    "stream_extract": q_stream_extract,
-    "stream_dedup_extract": q_stream_dedup_extract,
-    "checkpoint_resume": q_checkpoint_resume,
+    # --- tail: long-green stalwarts rotated out of the 50-slot window ---
+    "a_url_hash_dedup": q_a_url_hash_dedup,
+    "a_doc_id_assign": q_a_doc_id_assign,
+    "a_anti_join": q_a_anti_join,
+    "a_filter_doc_urls": q_a_filter_doc_urls,
+    "a_clean_urls": q_clean_urls,
+    "text_metrics": q_text_metrics,
+    "langid": q_langid,
+    "normalize": q_normalize,
+    "token_counts": q_token_counts,
 }
