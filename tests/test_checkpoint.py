@@ -113,3 +113,55 @@ def test_resume_after_commit_crash_recomputes_nothing(
     assert sorted(
         r["bucket"] for r in CP.read_lineage(spark, out).collect()
     ) == [0, 1, 2, 3]
+
+
+def test_resume_with_different_n_buckets_fails_loudly(spark, docs, tmp_path):
+    """Bucket indices are only meaningful under the modulus that produced
+    them: resuming an out_dir with a different n_buckets must raise, not
+    silently commit a subset and delete the rest."""
+    out = str(tmp_path / "cp")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        CP.run_extract_checkpointed(spark, docs, out, n_buckets=8, fail_after=1)
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        CP.run_extract_checkpointed(spark, docs, out, n_buckets=4)
+    # the original modulus still resumes cleanly
+    resumed = CP.run_extract_checkpointed(spark, docs, out, n_buckets=8)
+    assert resumed.count() == docs.count()
+
+
+def test_returned_schema_matches_plain_extract(spark, docs, tmp_path):
+    """The checkpoint layout's partition column must not leak into the
+    returned DataFrame — callers expect EXTRACTED_SCHEMA parity."""
+    plain = CP.X.extract(docs)
+    ckpt = CP.run_extract_checkpointed(
+        spark, docs, str(tmp_path / "cp"), n_buckets=2
+    )
+    assert "bucket" not in ckpt.columns
+    assert sorted(ckpt.columns) == sorted(plain.columns)
+
+
+def test_empty_bucket_crash_window_recovers(spark, docs, tmp_path):
+    """A crash after an EMPTY bucket's mkdir commit but before its lineage
+    append must not block resume (a bare dir has no parquet schema)."""
+    two = docs.limit(2)
+    out = tmp_path / "cp"
+    with pytest.raises(RuntimeError, match="injected failure"):
+        CP.run_extract_checkpointed(
+            spark, two, str(out), n_buckets=8, fail_after=1
+        )
+    # simulate the crash window on a bucket with no rows: bare dir in the
+    # output, no lineage row, absent from staging
+    uncommitted = [
+        b for b in range(8)
+        if b not in CP.completed_buckets(str(out))
+        and not (out / "_staging" / f"bucket={b}").exists()
+    ]
+    assert uncommitted, "need at least one empty pending bucket"
+    victim = uncommitted[0]
+    (out / f"bucket={victim}").mkdir()
+
+    resumed = CP.run_extract_checkpointed(spark, two, str(out), n_buckets=8)
+    assert resumed.count() == 2
+    lineage = {r["bucket"]: r for r in CP.read_lineage(spark, str(out)).collect()}
+    assert sorted(lineage) == list(range(8))
+    assert lineage[victim]["n_docs"] == 0

@@ -76,13 +76,44 @@ def completed_buckets(out_dir: str) -> set[int]:
     return done
 
 
-def _staged_buckets(staging: pathlib.Path) -> set[int]:
-    """Buckets reusable from a previous (possibly killed) run: requires the
-    Spark _SUCCESS commit marker AND our manifest."""
+def _read_manifest(staging: pathlib.Path) -> dict | None:
     manifest = staging / "_manifest.json"
     if not manifest.exists() or not (staging / "_SUCCESS").exists():
+        return None
+    return json.loads(manifest.read_text())
+
+
+def _staged_buckets(staging: pathlib.Path, n_buckets: int) -> set[int]:
+    """Buckets reusable from a previous (possibly killed) run: requires the
+    Spark _SUCCESS commit marker AND our manifest, AND the manifest's
+    bucketing modulus to match this call's — staging written under a
+    different ``n_buckets`` partitions the corpus differently, so reusing
+    it would commit only the bucket dirs that exist under the new modulus
+    and silently drop the rest.  Mismatch → not reusable → restaged."""
+    m = _read_manifest(staging)
+    if m is None or m.get("n_buckets") != n_buckets:
         return set()
-    return set(json.loads(manifest.read_text())["buckets"])
+    return set(m["buckets"])
+
+
+def _check_run_meta(out: pathlib.Path, n_buckets: int) -> None:
+    """Pin ``n_buckets`` for the lifetime of an output directory.  Bucket
+    indices in lineage rows and ``bucket=`` dirs are only meaningful under
+    the modulus that produced them; resuming with a different one would
+    mix two incompatible partitionings of the same corpus — fail loudly
+    instead (the Iceberg analog: you can't change a table's bucket spec
+    mid-snapshot without a rewrite)."""
+    meta = out / "_run_meta.json"
+    if meta.exists():
+        prior = json.loads(meta.read_text()).get("n_buckets")
+        if prior != n_buckets:
+            raise ValueError(
+                f"checkpoint dir {out} was created with n_buckets={prior}; "
+                f"resuming with n_buckets={n_buckets} would corrupt bucket "
+                "accounting — use the original value or a fresh out_dir"
+            )
+    else:
+        meta.write_text(json.dumps({"n_buckets": n_buckets}))
 
 
 def run_extract_checkpointed(
@@ -101,6 +132,7 @@ def run_extract_checkpointed(
     """
     out = pathlib.Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    _check_run_meta(out, n_buckets)
     lineage = _lineage_path(str(out))
     staging = out / "_staging"
 
@@ -109,7 +141,7 @@ def run_extract_checkpointed(
 
     staging_wall = 0.0
     if pending:
-        staged = _staged_buckets(staging)
+        staged = _staged_buckets(staging, n_buckets)
         if not set(pending) <= staged:
             # (re-)stage: one extraction pass over every pending bucket.
             # The bucket assignment is recomputed on the OUTPUT from doc_id
@@ -140,35 +172,46 @@ def run_extract_checkpointed(
                 .parquet(str(staging))
             )
             staging_wall = time.monotonic() - t0
+            # per-bucket counts for proportional wall attribution (reads
+            # only the staged OUTPUT's ok column — never the input again).
+            # Persisted in the manifest so a commit-only resume attributes
+            # staging_wall against the ORIGINAL totals even after some
+            # buckets have been renamed out of staging.
+            if any(staging.glob("bucket=*")):
+                stats = {
+                    int(r["bucket"]): (int(r["n"]), int(r["n_ok"] or 0))
+                    for r in spark.read.parquet(str(staging))
+                    .groupBy("bucket")
+                    .agg(
+                        F.count("*").alias("n"),
+                        F.sum(F.col("ok").cast("long")).alias("n_ok"),
+                    )
+                    .collect()
+                }
+            else:  # every pending bucket was empty
+                stats = {}
             (staging / "_manifest.json").write_text(
                 json.dumps(
-                    {"buckets": pending, "staging_wall": round(staging_wall, 3)}
+                    {
+                        "buckets": pending,
+                        "n_buckets": n_buckets,
+                        "staging_wall": round(staging_wall, 3),
+                        "bucket_stats": {
+                            str(b): [n, n_ok] for b, (n, n_ok) in stats.items()
+                        },
+                    }
                 )
             )
         else:
             # crash happened between commits: staged data is complete,
-            # resume is commit-only with zero recompute
-            staging_wall = float(
-                json.loads((staging / "_manifest.json").read_text()).get(
-                    "staging_wall", 0.0
-                )
-            )
-
-        # per-bucket counts for proportional wall attribution (reads only
-        # the staged OUTPUT's ok column — never the input again)
-        if any(staging.glob("bucket=*")):
+            # resume is commit-only with zero recompute — counts come from
+            # the manifest (covers buckets already renamed out of staging)
+            m = _read_manifest(staging) or {}
+            staging_wall = float(m.get("staging_wall", 0.0))
             stats = {
-                int(r["bucket"]): (int(r["n"]), int(r["n_ok"] or 0))
-                for r in spark.read.parquet(str(staging))
-                .groupBy("bucket")
-                .agg(
-                    F.count("*").alias("n"),
-                    F.sum(F.col("ok").cast("long")).alias("n_ok"),
-                )
-                .collect()
+                int(b): (int(n), int(n_ok))
+                for b, (n, n_ok) in m.get("bucket_stats", {}).items()
             }
-        else:  # every pending bucket was empty
-            stats = {}
         total_staged = sum(n for n, _ in stats.values()) or 1
 
         commits = 0
@@ -183,16 +226,24 @@ def run_extract_checkpointed(
             elif dst.exists():
                 # a prior run crashed BETWEEN this rename and its lineage
                 # append: the data is already in place — keep it (never
-                # wipe a renamed bucket) and recount it for the lineage row
-                res = (
-                    spark.read.parquet(str(dst))
-                    .agg(
-                        F.count("*").alias("n"),
-                        F.sum(F.col("ok").cast("long")).alias("n_ok"),
-                    )
-                    .first()
-                )
-                n, n_ok = int(res["n"] or 0), int(res["n_ok"] or 0)
+                # wipe a renamed bucket).  Counts normally come from the
+                # manifest's bucket_stats; recount from the files only as
+                # a fallback, guarding the empty-bucket case (a bare dir
+                # committed via mkdir has no parquet files and would raise
+                # "unable to infer schema" on read).
+                if bucket not in stats:
+                    if any(dst.glob("*.parquet")):
+                        res = (
+                            spark.read.parquet(str(dst))
+                            .agg(
+                                F.count("*").alias("n"),
+                                F.sum(F.col("ok").cast("long")).alias("n_ok"),
+                            )
+                            .first()
+                        )
+                        n, n_ok = int(res["n"] or 0), int(res["n_ok"] or 0)
+                    else:
+                        n, n_ok = 0, 0
             else:
                 dst.mkdir(parents=True)  # empty bucket: commit the marker
             wall = (time.monotonic() - t0) + staging_wall * (n / total_staged)
@@ -213,8 +264,14 @@ def run_extract_checkpointed(
                 raise RuntimeError(f"injected failure after {commits} buckets")
         shutil.rmtree(staging, ignore_errors=True)
 
-    return spark.read.option("basePath", str(out)).parquet(
-        str(out / "bucket=*")
+    # drop the discovered partition column: callers get EXTRACTED_SCHEMA
+    # parity with a plain extract() (unionByName / contract writes must not
+    # see an extra int column that only exists because of the checkpoint
+    # layout)
+    return (
+        spark.read.option("basePath", str(out))
+        .parquet(str(out / "bucket=*"))
+        .drop("bucket")
     )
 
 
