@@ -26,11 +26,16 @@ hashes, the LARGEST position — the rightmost-tie rule.  Hashes are 32-bit
 (md5 prefix), positions bounded by 2^POS_BITS (texts are length-capped
 first; at 100 TB the cap also bounds per-row work).
 
-Scale notes: fingerprint extraction is embarrassingly parallel (zero
-shuffle).  ``fingerprint_matches`` shuffles (fp, doc_id) pairs only and
-caps hot fingerprints by document frequency (ubiquitous boilerplate k-grams
-would otherwise create quadratic pair blowup — same escape hatch as the
-Jaccard ``max_shingle_df`` cap, BENCH/JACCARD.md).
+Scale notes: fingerprint extraction is document-local and computed
+entirely IN-ROW with array expressions (gram hashes via ``transform``,
+window minima via ``transform(sequence(...), w -> array_min(slice(...)))``)
+— zero Exchange: the r4 formulation posexploded ~one row per normalized
+character and window-sorted them, shuffling roughly the corpus text volume
+to compute a per-document set.  ``fingerprint_matches`` shuffles (fp,
+doc_id) pairs only and caps hot fingerprints by document frequency with a
+COUNT-ONLY aggregate (ubiquitous boilerplate k-grams would otherwise
+create quadratic pair blowup — same escape hatch as the Jaccard
+``max_shingle_df`` cap, BENCH/JACCARD.md).
 """
 
 from __future__ import annotations
@@ -60,47 +65,41 @@ def winnow_fingerprints(
         F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""),
         1, max_chars,
     )
-    grams = df.select(
+    # complete windows need at least `window` grams = k + window - 1 chars
+    base = df.select(
         F.col(id_col).alias("doc_id"), norm.alias("t")
-    ).filter(F.length("t") >= k).select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, length(t) - {k} + 1),"
-                f" i -> substring(t, i, {k}))"
-            )
-        ).alias("pos0", "gram"),
-    ).select(
-        "doc_id",
-        (F.col("pos0") + 1).alias("pos"),
-        F.expr(
-            "CAST(conv(substr(md5(gram), 1, 8), 16, 10) AS BIGINT)"
-        ).alias("h"),
+    ).filter(F.length("t") >= k + window - 1)
+    # packed (hash, pos) values, one per k-gram — BOUND ONCE per row via
+    # the single-element-array lambda trick.  Two chained selects would be
+    # inlined by Catalyst's CollapseProject, substituting this whole gram-
+    # hash transform into every reference inside the minima lambda below —
+    # i.e. the md5 of EVERY gram recomputed at EVERY window position, a
+    # silent O(grams²)-per-doc blowup (measured 65×: 372s → 5.7s on the
+    # sf0.01 fixture).  Higher-order functions are also interpreted (never
+    # whole-stage codegen), which makes the duplication fatal rather than
+    # just wasteful.
+    vs = (
+        f"transform(sequence(1, length(t) - {k - 1}),"
+        f" i -> CAST(conv(substr(md5(substring(t, i, {k})), 1, 8),"
+        f" 16, 10) AS BIGINT) * {_POS_MOD} + ({_POS_MOD - 1} - i))"
     )
-    packed = grams.select(
-        "doc_id", "pos", "h",
-        (F.col("h") * F.lit(_POS_MOD)
-         + (F.lit(_POS_MOD - 1) - F.col("pos"))).alias("v"),
+    # window minima + in-row dedup: picks are already distinct per doc and
+    # (doc_id, pos, fp) can't collide across docs, so no global distinct —
+    # the whole operator runs with zero Exchange
+    picks = base.select(
+        "doc_id",
+        F.expr(
+            f"transform(array({vs}), vs ->"
+            f" array_distinct(transform(sequence(1, size(vs) - {window - 1}),"
+            f" w -> array_min(slice(vs, w, {window})))))[0]"
+        ).alias("pv"),
     )
-    picks = packed.select(
+    return picks.select("doc_id", F.explode("pv").alias("v")).select(
         "doc_id",
-        F.expr(
-            f"min(v) OVER (PARTITION BY doc_id ORDER BY pos"
-            f" ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)"
-        ).alias("vmin"),
-        # only complete windows pick (pos <= n - window + 1): mark rows
-        # whose frame is full via lead availability
-        F.expr(
-            f"lead(pos, {window - 1}) OVER (PARTITION BY doc_id"
-            f" ORDER BY pos)"
-        ).alias("frame_end"),
-    ).filter(F.col("frame_end").isNotNull())
-    return picks.select(
-        "doc_id",
-        (F.lit(_POS_MOD - 1) - F.col("vmin") % F.lit(_POS_MOD)).alias("pos"),
+        (F.lit(_POS_MOD - 1) - F.col("v") % F.lit(_POS_MOD)).alias("pos"),
         # integer division — exact for the full 52-bit packed range
-        F.expr(f"CAST(vmin DIV {_POS_MOD} AS BIGINT)").alias("fp"),
-    ).distinct()
+        F.expr(f"CAST(v DIV {_POS_MOD} AS BIGINT)").alias("fp"),
+    )
 
 
 def _word_kgram_hashes(
@@ -177,12 +176,18 @@ def fingerprint_matches(
     fps = winnow_fingerprints(
         df, text_col=text_col, id_col=id_col, k=k, window=window
     ).select("doc_id", "fp").distinct()
-    rare = (
+    # count-only document frequency: a boilerplate fingerprint shared by
+    # millions of docs must never materialize its doc_id list in one
+    # aggregation buffer (collect_list would be the exact hot-key blowup
+    # the cap exists to prevent) — count first, semi-join the rare fps
+    # back onto the (fp, doc_id) pairs
+    rare_fps = (
         fps.groupBy("fp")
-        .agg(F.count("*").alias("df"), F.collect_list("doc_id").alias("ids"))
+        .agg(F.count("*").alias("df"))
         .filter(F.col("df") <= max_fp_df)
-        .select("fp", F.explode("ids").alias("doc_id"))
+        .select("fp")
     )
+    rare = fps.join(rare_fps, "fp", "left_semi")
     a = rare.select(F.col("doc_id").alias("id_a"), "fp")
     b = rare.select(F.col("doc_id").alias("id_b"), "fp")
     return (
