@@ -261,10 +261,17 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     """60-bit SimHash over whitespace tokens (token weight = occurrences).
 
     Array-expression formulation (no explode), LINEAR in tokens: the token
-    hashes are materialized once (`hs` column), then each bit sums ±1 per
-    occurrence — Σ_{occurrences} ±1 ≡ Σ_{distinct} count·(±1), without the
+    hashes are bound ONCE per row, then each bit sums ±1 per occurrence —
+    Σ_{occurrences} ±1 ≡ Σ_{distinct} count·(±1), without the
     per-distinct-token array rescans (which were O(60·distinct·n): a
     100k-token doc cost ~10^10 comparisons).
+
+    Binding uses the single-element-array lambda trick rather than a
+    chained select: a `hs` alias referenced once inside the per-bit lambda
+    passes CollapseProject's used-once guard and gets INLINED — i.e. the
+    whole tokenize+hash transform re-evaluated for each of the 60 bits
+    (measured 15×: 17.9s → 1.2s over sf0.1 documents; same trap as
+    fingerprint.winnow_fingerprints, where it was O(grams²)).
     """
     toks = tokens_expr(text_col, "spark")
     h = _hash64_spark("t")
@@ -279,12 +286,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         f"(s, b) -> CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), b) "
         f"ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
-    return (
-        df.select(
-            F.col(id_col).cast("string").alias("doc_id"),
-            F.expr(hs).alias("hs"),
-        )
-        .select("doc_id", F.expr(sim).alias("simhash"))
+    return df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.expr(f"transform(array({hs}), hs -> {sim})[0]").alias("simhash"),
     )
 
 
