@@ -1,0 +1,138 @@
+"""Real-model adapter seams (adapters.py): conversion logic driven through
+stubbed backends driver-side (the sandbox has neither fasttext nor kenlm),
+plus skip-if-absent end-to-end tests for hosts that DO have the deps."""
+
+import sys
+import types
+
+import pytest
+
+from wordscape_spark import adapters as A
+
+
+@pytest.fixture
+def fake_fasttext(monkeypatch):
+    class _Model:
+        def predict(self, text, k):
+            assert "\n" not in text  # fastText rejects multi-line input
+            labels = ("__label__en", "__label__de", "__label__fr")[:k]
+            probs = (0.91234567, 0.05, 0.05)[:k]
+            return labels, probs
+
+    mod = types.ModuleType("fasttext")
+    mod.load_model = lambda path: _Model()
+    monkeypatch.setitem(sys.modules, "fasttext", mod)
+    A._FASTTEXT_CACHE.clear()
+    yield mod
+    A._FASTTEXT_CACHE.clear()
+
+
+@pytest.fixture
+def fake_kenlm(monkeypatch):
+    class _Model:
+        def __init__(self, path):
+            self.path = path
+
+        def perplexity(self, text):
+            return 123.4567891
+
+    mod = types.ModuleType("kenlm")
+    mod.Model = _Model
+    monkeypatch.setitem(sys.modules, "kenlm", mod)
+    A._KENLM_CACHE.clear()
+    yield mod
+    A._KENLM_CACHE.clear()
+
+
+def test_fasttext_adapter_contract(fake_fasttext):
+    fn = A.fasttext_classifier("/models/lid.176.ftz", top_k=3)
+    out = fn("hello\nworld")
+    # sorted by (-conf, label), 6dp rounding, ties broken lexicographically
+    assert list(out) == ["__label__en", "__label__de", "__label__fr"]
+    assert out["__label__en"] == 0.912346
+    assert out["__label__de"] == 0.05
+
+
+def test_fasttext_adapter_empty_text(fake_fasttext):
+    fn = A.fasttext_classifier("/models/lid.176.ftz", top_k=3)
+    assert fn("") == {"__label__unknown": 1.0}
+    assert fn(None) == {"__label__unknown": 1.0}
+
+
+def test_fasttext_adapter_caches_per_path(fake_fasttext):
+    fn = A.fasttext_classifier("/models/lid.176.ftz", top_k=1)
+    fn("a b c")
+    m1 = A._FASTTEXT_CACHE["/models/lid.176.ftz"]
+    fn("d e f")
+    assert A._FASTTEXT_CACHE["/models/lid.176.ftz"] is m1
+
+
+def test_kenlm_adapter_contract(fake_kenlm):
+    fn = A.kenlm_scorer("/models/en.arpa", match_lang="en")
+    assert fn("some text", "en") == 123.456789  # 6dp rounding
+    assert fn("some text", "de") == 0.0  # language-matched scoring only
+    assert fn("", "en") == 0.0
+
+
+def test_adapters_pickle_by_reference(fake_fasttext, fake_kenlm):
+    """The partials must pickle WITHOUT the model object (the whole point:
+    executors load the file themselves)."""
+    import pickle
+
+    ft = pickle.loads(pickle.dumps(A.fasttext_classifier("/m.ftz", top_k=2)))
+    assert list(ft("guten tag welt")) == ["__label__en", "__label__de"]
+    kl = pickle.loads(pickle.dumps(A.kenlm_scorer("/m.arpa")))
+    assert kl("x y", "en") == 123.456789
+
+
+def test_missing_backend_raises_actionable_importerror(monkeypatch):
+    monkeypatch.setitem(sys.modules, "fasttext", None)
+    monkeypatch.setitem(sys.modules, "kenlm", None)
+    A._FASTTEXT_CACHE.clear()
+    A._KENLM_CACHE.clear()
+    with pytest.raises(ImportError, match="fasttext-wheel"):
+        A.fasttext_classifier("/m.ftz", top_k=1)("hi there")
+    with pytest.raises(ImportError, match="pip install kenlm"):
+        A.kenlm_scorer("/m.arpa")("hi there", "en")
+
+
+# --- end-to-end through the Spark seams, only where the real deps exist ---
+
+
+def test_fasttext_seam_end_to_end(spark, tmp_path):
+    fasttext = pytest.importorskip("fasttext")
+    import urllib.request
+
+    model_path = tmp_path / "lid.176.ftz"
+    try:
+        urllib.request.urlretrieve(
+            "https://dl.fbaipublicfiles.com/fasttext/supervised-models/"
+            "lid.176.ftz",
+            model_path,
+        )
+    except OSError:
+        pytest.skip("no network for lid.176.ftz")
+    from wordscape_spark.operators.langid_trigram import with_trigram_langid
+
+    df = spark.createDataFrame(
+        [("d1", "the quick brown fox jumps over the lazy dog")],
+        "doc_id string, text string",
+    )
+    out = with_trigram_langid(
+        df, model=A.fasttext_classifier(str(model_path))
+    ).first()
+    assert out["top_lang"] == "__label__en"
+
+
+def test_kenlm_seam_end_to_end(spark):
+    kenlm = pytest.importorskip("kenlm")
+    from wordscape_spark.models import TINY_ARPA_PATH
+    from wordscape_spark.operators.perplexity import with_perplexity
+
+    df = spark.createDataFrame(
+        [("d1", "the cat sat", "en")], "doc_id string, text string, lang string"
+    )
+    out = with_perplexity(
+        df, scorer=A.kenlm_scorer(TINY_ARPA_PATH)
+    ).first()
+    assert out["perplexity"] > 0

@@ -1,0 +1,131 @@
+"""Import-guarded adapters that put REAL production models behind the
+existing injection seams.
+
+The sandbox ships neither ``fasttext`` nor ``kenlm``, so the engine's
+language-ID and perplexity operators run on deterministic in-repo
+surrogates by default — but the seams (`with_trigram_langid(model=…)`,
+`with_perplexity(scorer=…)`) were designed for the real artifacts a
+production user has:
+
+* fastText ``lid.176.ftz`` — the reference loads it once per worker and
+  calls ``model.predict(text, k)`` (reference:
+  app/src/annotation/language_detection/inference.py:8-59);
+* a KenLM ``.arpa``/``.bin`` n-gram model — the reference scores
+  language-matched documents with ``kenlm.Model`` and the
+  ``10^(−Σ log10 p / N)`` perplexity formula (reference:
+  app/src/quality/perplexity.py:13-55).
+
+Both adapters return ``functools.partial`` over MODULE-LEVEL functions, so
+they pickle by reference (no model object ever crosses the driver→executor
+boundary); each executor process imports the backend and loads the model
+file exactly once per path (the reference's module-level lazy singleton
+pattern).  The backend import happens lazily INSIDE the loader, so merely
+importing this module — or shipping the partial — never requires the
+dependency; only actually scoring a batch does.
+
+Usage on a real cluster::
+
+    from wordscape_spark.adapters import fasttext_classifier, kenlm_scorer
+    df = with_trigram_langid(df, model=fasttext_classifier("/models/lid.176.ftz"))
+    df = with_perplexity(df, scorer=kenlm_scorer("/models/en.arpa.bin"))
+
+Ship the model files with ``spark-submit --files`` (or a cluster-visible
+path) and the package with ``--py-files``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+_FASTTEXT_CACHE: dict[str, object] = {}
+_KENLM_CACHE: dict[str, object] = {}
+
+
+# ---------------------------------------------------------------------------
+# fastText language ID (lid.176.ftz)
+# ---------------------------------------------------------------------------
+
+
+def _load_fasttext(path: str):
+    model = _FASTTEXT_CACHE.get(path)
+    if model is None:
+        try:
+            import fasttext
+        except ImportError as e:  # pragma: no cover - exercised via stub
+            raise ImportError(
+                "fasttext is required for fasttext_classifier — "
+                "`pip install fasttext-wheel` and download lid.176.ftz "
+                "(https://fasttext.cc/docs/en/language-identification.html); "
+                "without it the engine's default trigram model still works"
+            ) from e
+        model = fasttext.load_model(path)
+        _FASTTEXT_CACHE[path] = model
+    return model
+
+
+def _fasttext_classify(text: str, path: str, top_k: int) -> dict[str, float]:
+    """fastText predict → the seam's ``{__label__xx: conf}`` contract:
+    entries sorted by (-conf, label), confidences rounded to 6dp (the same
+    canonicalization the in-repo trigram model applies, so downstream
+    ``serialize_topk`` maps are comparable across backends).  Newlines are
+    stripped first — fastText predict rejects multi-line input (the
+    reference does the same, inference.py:38)."""
+    model = _load_fasttext(path)
+    clean = (text or "").replace("\n", " ").strip()
+    if not clean:
+        return {"__label__unknown": 1.0}
+    labels, probs = model.predict(clean, k=top_k)
+    confs = {
+        str(label): round(min(float(p), 1.0), 6)
+        for label, p in zip(labels, probs)
+    }
+    return dict(sorted(confs.items(), key=lambda kv: (-kv[1], kv[0])))
+
+
+def fasttext_classifier(path: str, top_k: int | None = None):
+    """A picklable classifier for ``with_trigram_langid(model=…)`` backed
+    by a real fastText ``lid.176.ftz`` lazy-loaded once per executor."""
+    if top_k is None:
+        from wordscape_spark.config import DEFAULT_CONFIG
+
+        top_k = DEFAULT_CONFIG.top_k_languages
+    return functools.partial(_fasttext_classify, path=path, top_k=top_k)
+
+
+# ---------------------------------------------------------------------------
+# KenLM perplexity (.arpa / .bin)
+# ---------------------------------------------------------------------------
+
+
+def _load_kenlm(path: str):
+    model = _KENLM_CACHE.get(path)
+    if model is None:
+        try:
+            import kenlm
+        except ImportError as e:  # pragma: no cover - exercised via stub
+            raise ImportError(
+                "kenlm is required for kenlm_scorer — `pip install kenlm`; "
+                "without it the engine's default bigram surrogate (or the "
+                "pure-Python ArpaModel reader in models.py) still works"
+            ) from e
+        model = kenlm.Model(path)
+        _KENLM_CACHE[path] = model
+    return model
+
+
+def _kenlm_score(text: str, lang: str, path: str, match_lang: str) -> float:
+    """(text, lang) → perplexity, scored only for the model's language —
+    the reference applies each model to matching-language docs only
+    (pp_compute_perplexity.py:27-43).  ``kenlm.Model.perplexity`` computes
+    the reference formula ``10^(−Σ log10 p / N)`` natively."""
+    if lang != match_lang:
+        return 0.0
+    if not text:
+        return 0.0
+    return round(float(_load_kenlm(path).perplexity(text)), 6)
+
+
+def kenlm_scorer(path: str, match_lang: str = "en"):
+    """A picklable scorer for ``with_perplexity(scorer=…)`` backed by a
+    real KenLM model lazy-loaded once per executor."""
+    return functools.partial(_kenlm_score, path=path, match_lang=match_lang)
