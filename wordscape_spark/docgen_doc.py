@@ -20,9 +20,15 @@ Deliberate structure choices that exercise the reader's paths:
   (small docs: everything mini; big docs: WordDocument in the FAT).
 
 Scope matches the reader: body paragraphs + page breaks (0x0C); control
-chars in input text are normalized to spaces ([MS-DOC] text space rules);
-no CHPX/PAPX formatting is written, mirroring the text-level boundary
-documented in doc_legacy.py.
+chars in input text are normalized to spaces ([MS-DOC] text space rules).
+Per-paragraph CHARACTER formatting (bold + font size) is written as real
+CHPX FKPs ([MS-DOC] ChpxFkp 512-byte pages in the WordDocument stream,
+addressed by a PlcfBteChpx in the table stream, sprmCFBold 0x0835 /
+sprmCHps 0x4A43) so the reader's formatting recovery feeds the C10/C11
+font heuristics on legacy docs; PAPX (paragraph style names) remains out
+of scope — every paragraph still enters the classifier as style "normal",
+the documented gap vs the reference's LibreOffice conversion
+(conversion_manager.py:161-223 preserves full styling).
 """
 
 from __future__ import annotations
@@ -49,10 +55,13 @@ _CTRL_RE = re.compile("[\x00-\x08\x0a-\x1f]")  # \t (0x09) is legal text
 # ---------------------------------------------------------------------------
 
 
-def _encode_pieces(text: str) -> tuple[bytes, bytes, int]:
-    """(text bytes after the FIB, CLX bytes, ccpText).  Splits into ≤3
-    pieces with alternating cp1252/UTF-16 encodings where the text allows
-    it; ccpText counts CPs (cp1252 bytes / UTF-16 code units)."""
+def _encode_pieces(text: str) -> tuple[bytes, bytes, int, list]:
+    """(text bytes after the FIB, CLX bytes, ccpText, piece map).  Splits
+    into ≤3 pieces with alternating cp1252/UTF-16 encodings where the text
+    allows it; ccpText counts CPs (cp1252 bytes / UTF-16 code units).  The
+    piece map carries ``(cp_start, cp_end, byte_off, bytes_per_cp)`` per
+    piece — byte_off is the REAL WordDocument-stream offset of the piece's
+    first character (what FKP rgfc entries address)."""
     n = len(text)
     if n >= 9:
         bounds = [0, n // 3, 2 * n // 3, n]
@@ -63,6 +72,7 @@ def _encode_pieces(text: str) -> tuple[bytes, bytes, int]:
     data = bytearray()
     cps = [0]
     pcds = []
+    piece_map = []
     for i, piece in enumerate(pieces):
         compressed = False
         if i % 2 == 0:
@@ -77,10 +87,13 @@ def _encode_pieces(text: str) -> tuple[bytes, bytes, int]:
         if compressed:
             fc = (offset * 2) | 0x40000000
             count = len(enc)
+            bpc = 1
         else:
             fc = offset
             count = len(enc) // 2
+            bpc = 2
         data += enc
+        piece_map.append((cps[-1], cps[-1] + count, offset, bpc))
         cps.append(cps[-1] + count)
         pcds.append(struct.pack("<HIH", 0, fc, 0))
 
@@ -88,26 +101,154 @@ def _encode_pieces(text: str) -> tuple[bytes, bytes, int]:
     # a Prc the reader must skip (grpprl payload is opaque to text recovery)
     prc = b"\x01" + struct.pack("<H", 6) + b"\x00" * 6
     clx = prc + b"\x02" + struct.pack("<I", len(plc)) + plc
-    return bytes(data), clx, cps[-1]
+    return bytes(data), clx, cps[-1], piece_map
 
 
-def build_doc(items: list[str | None], which_table: int = 0) -> bytes:
+SPRM_CF_BOLD = 0x0835  # [MS-DOC] 2.6.1, 1-byte ToggleOperand
+SPRM_C_HPS = 0x4A43    # [MS-DOC] 2.6.1, 2-byte half-point font size
+
+
+def _chpx_blob(bold: bool | None, hps: int | None) -> bytes | None:
+    """CHPX struct (cb byte + grpprl) for the paragraph's run properties."""
+    grpprl = b""
+    if bold is not None:
+        grpprl += struct.pack("<HB", SPRM_CF_BOLD, 1 if bold else 0)
+    if hps is not None:
+        grpprl += struct.pack("<HH", SPRM_C_HPS, hps)
+    if not grpprl:
+        return None
+    return bytes([len(grpprl)]) + grpprl
+
+
+def _cp_ranges_to_fc_runs(
+    styled: list[tuple[int, int, bytes]],
+    piece_map: list,
+    data_len: int,
+) -> list[tuple[int, int, bytes | None]]:
+    """Tile the WHOLE text byte range of the WordDocument stream with
+    (fcStart, fcEnd, chpx|None) runs: styled cp ranges are intersected with
+    the pieces (a styled paragraph crossing a piece seam splits into two fc
+    runs), and the gaps become property-less runs so FKP rgfc coverage is
+    contiguous per the spec."""
+    fc_runs: list[tuple[int, int, bytes | None]] = []
+    for cp_s, cp_e, byte_off, bpc in piece_map:
+        pos = cp_s
+        for s_s, s_e, blob in styled:
+            lo, hi = max(s_s, cp_s), min(s_e, cp_e)
+            if lo >= hi:
+                continue
+            if lo > pos:
+                fc_runs.append(
+                    (byte_off + bpc * (pos - cp_s),
+                     byte_off + bpc * (lo - cp_s), None)
+                )
+            fc_runs.append(
+                (byte_off + bpc * (lo - cp_s),
+                 byte_off + bpc * (hi - cp_s), blob)
+            )
+            pos = hi
+        if pos < cp_e:
+            fc_runs.append(
+                (byte_off + bpc * (pos - cp_s),
+                 byte_off + bpc * (cp_e - cp_s), None)
+            )
+    return fc_runs
+
+
+def _build_chpx_fkps(
+    fc_runs: list[tuple[int, int, bytes | None]], first_pn: int
+) -> tuple[bytes, bytes]:
+    """(FKP pages blob, PlcfBteChpx blob).  Each ChpxFkp is a 512-byte page:
+    rgfc[crun+1] u32s, rgb[crun] word-offsets (0 = no properties), CHPX
+    structs packed downward from the crun byte at offset 511; identical
+    CHPXs within a page are shared (the spec's layout allows it)."""
+    pages: list[tuple[bytes, int, int]] = []  # (page, fc_start, fc_end)
+    i = 0
+    while i < len(fc_runs):
+        runs: list[tuple[int, int, bytes | None]] = []
+        blobs: dict[bytes, int] = {}
+        chpx_top = 511  # CHPXs grow downward from here
+        while i < len(fc_runs):
+            _, _, blob = fc_runs[i]
+            new_top = chpx_top
+            if blob is not None and blob not in blobs:
+                new_top -= len(blob)
+                if new_top % 2:  # rgb addresses words
+                    new_top -= 1
+            n = len(runs) + 1
+            if 4 * (n + 1) + n > new_top:
+                break  # page full
+            if blob is not None and blob not in blobs:
+                chpx_top = new_top
+                blobs[blob] = chpx_top
+            runs.append(fc_runs[i])
+            i += 1
+        page = bytearray(512)
+        for r, (fc_s, _, _) in enumerate(runs):
+            struct.pack_into("<I", page, 4 * r, fc_s)
+        struct.pack_into("<I", page, 4 * len(runs), runs[-1][1])
+        base = 4 * (len(runs) + 1)
+        for r, (_, _, blob) in enumerate(runs):
+            page[base + r] = 0 if blob is None else blobs[blob] // 2
+        for blob, off in blobs.items():
+            page[off:off + len(blob)] = blob
+        page[511] = len(runs)
+        pages.append((bytes(page), runs[0][0], runs[-1][1]))
+
+    plc = b"".join(struct.pack("<I", p[1]) for p in pages)
+    plc += struct.pack("<I", pages[-1][2])
+    plc += b"".join(struct.pack("<I", first_pn + k) for k in range(len(pages)))
+    return b"".join(p[0] for p in pages), plc
+
+
+def build_doc(
+    items: list[str | dict | None], which_table: int = 0
+) -> bytes:
     """Render paragraphs (``None`` = page break) into .doc bytes.
+
+    An item may be a plain string (unformatted) or a dict
+    ``{"text": str, "bold": bool|None, "hps": int|None}`` — bold/half-point
+    size become a real CHPX run covering the paragraph INCLUDING its mark
+    (Word formats the mark too, which is what lets an empty styled
+    paragraph round-trip).
 
     ``which_table`` selects the table-stream name (0Table/1Table) and sets
     the FIB ``fWhichTblStm`` flag accordingly — Word emits both in the
     wild (the flag flips on incremental save)."""
     parts = []
+    styled_cp: list[tuple[int, int, bytes]] = []
+    cp = 0
     for item in items:
         if item is None:
             parts.append("\x0c")
+            cp += 1
+            continue
+        if isinstance(item, dict):
+            text = _CTRL_RE.sub(" ", item["text"]) + "\r"
+            blob = _chpx_blob(item.get("bold"), item.get("hps"))
         else:
-            parts.append(_CTRL_RE.sub(" ", item) + "\r")
+            text = _CTRL_RE.sub(" ", item) + "\r"
+            blob = None
+        if blob is not None:
+            styled_cp.append((cp, cp + len(text), blob))
+        parts.append(text)
+        cp += len(text)
     text = "".join(parts)
     if not text.endswith("\r"):
         text += "\r"
 
-    text_bytes, clx, ccp_text = _encode_pieces(text)
+    text_bytes, clx, ccp_text, piece_map = _encode_pieces(text)
+
+    # CHPX FKP pages live on 512-byte boundaries of the WordDocument stream
+    word_len = _FIB_SIZE + len(text_bytes)
+    fkp_bytes = b""
+    plcfbte = b""
+    if styled_cp:
+        pad = (-word_len) % 512
+        first_pn = (word_len + pad) // 512
+        fc_runs = _cp_ranges_to_fc_runs(styled_cp, piece_map, len(text_bytes))
+        fkp_bytes, plcfbte = _build_chpx_fkps(fc_runs, first_pn)
+        fkp_bytes = b"\x00" * pad + fkp_bytes
 
     fib = bytearray(_FIB_SIZE)
     struct.pack_into("<H", fib, 0x0000, 0xA5EC)   # wIdent
@@ -118,12 +259,15 @@ def build_doc(items: list[str | None], which_table: int = 0) -> bytes:
     struct.pack_into("<I", fib, 0x0040, _FIB_SIZE + len(text_bytes))  # cbMac
     struct.pack_into("<I", fib, 0x004C, ccp_text)  # ccpText
     struct.pack_into("<H", fib, 0x0098, 0x005D)   # cbRgFcLcb (93 pairs)
+    if plcfbte:
+        struct.pack_into("<I", fib, 0x00FA, len(clx))      # fcPlcfBteChpx
+        struct.pack_into("<I", fib, 0x00FE, len(plcfbte))  # lcbPlcfBteChpx
     struct.pack_into("<I", fib, 0x01A2, 0)        # fcClx (CLX at 0Table:0)
     struct.pack_into("<I", fib, 0x01A6, len(clx))  # lcbClx
 
-    word_stream = bytes(fib) + text_bytes
+    word_stream = bytes(fib) + text_bytes + fkp_bytes
     return _build_cfb(
-        {"WordDocument": word_stream, f"{which_table}Table": clx}
+        {"WordDocument": word_stream, f"{which_table}Table": clx + plcfbte}
     )
 
 
@@ -289,16 +433,42 @@ def _build_cfb(streams: dict[str, bytes]) -> bytes:
 
 
 _PAR_RE = re.compile(r"p=(\d+)")
+_BOLD_RE = re.compile(r";b=([^;]+)")
+_SIZE_RE = re.compile(r";sz=([^;]+)")
 
 
-def spans_to_paragraph_items(spans: list[dict]) -> list[str | None]:
-    """Body-paragraph texts (+ ``None`` page breaks) from interleaved spans.
+def _run_props(kind: str) -> tuple[bool | None, int | None]:
+    """(bold, half-points) of one interleaved run kind; ``-``/negative size
+    = unknown.  Half-points via floor(sz*2 + 0.5) — Python's banker's
+    rounding diverges from SQL round() on exact halves, so both the writer
+    and the dual-dialect oracle use the same floor formulation."""
+    bold: bool | None = None
+    m = _BOLD_RE.search(kind)
+    if m and m.group(1) in ("0", "1"):
+        bold = m.group(1) == "1"
+    hps: int | None = None
+    m = _SIZE_RE.search(kind)
+    if m:
+        try:
+            sz = float(m.group(1))
+        except ValueError:
+            sz = -1.0
+        if sz >= 0:
+            hps = int(sz * 2 + 0.5)
+    return bold, hps
+
+
+def spans_to_styled_items(spans: list[dict]) -> list[dict | None]:
+    """Body paragraphs (+ ``None`` page breaks) from interleaved spans, as
+    ``{"text", "bold", "hps"}`` dicts — formatting is the paragraph's
+    FIRST run's resolved bold/size (the .doc writer emits one CHPX run per
+    paragraph; per-run fidelity inside a paragraph is docx-only scope).
 
     Scope of the .doc rendering: body ``r`` runs grouped per paragraph in
     offset order, page breaks kept in position; header/footer/table/sdt/
     figure/meta spans are not representable at .doc text level and are
     skipped (doc_legacy.py scope note)."""
-    pars: dict[int, list[tuple[int, str]]] = {}
+    pars: dict[int, list[tuple[int, str, str]]] = {}
     breaks: list[tuple[int, int]] = []  # (after_par, seq)
     last_par = -1
     for span in sorted(spans, key=lambda s: s["offset"]):
@@ -311,10 +481,10 @@ def spans_to_paragraph_items(spans: list[dict]) -> list[str | None]:
                 continue
             p = int(m.group(1))
             pars.setdefault(p, []).append(
-                (span["offset"], span["text"] or "")
+                (span["offset"], span["text"] or "", kind)
             )
             last_par = p
-    items: list[str | None] = []
+    items: list[dict | None] = []
     by_par = sorted(pars)
     break_after: dict[int, int] = {}
     for after, _ in breaks:
@@ -322,10 +492,26 @@ def spans_to_paragraph_items(spans: list[dict]) -> list[str | None]:
     for count in range(break_after.get(-1, 0)):
         items.append(None)
     for p in by_par:
-        items.append("".join(t for _, t in sorted(pars[p])))
+        runs = sorted(pars[p])
+        bold, hps = _run_props(runs[0][2])
+        items.append(
+            {
+                "text": "".join(t for _, t, _ in runs),
+                "bold": bold,
+                "hps": hps,
+            }
+        )
         for _ in range(break_after.get(p, 0)):
             items.append(None)
     return items
+
+
+def spans_to_paragraph_items(spans: list[dict]) -> list[str | None]:
+    """Text-only view of ``spans_to_styled_items``."""
+    return [
+        item if item is None else item["text"]
+        for item in spans_to_styled_items(spans)
+    ]
 
 
 def ensure_doc(sf: float) -> str:
@@ -335,9 +521,11 @@ def ensure_doc(sf: float) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # local format version: bump when the RENDERED BYTES change for the
+    # same interleaved input (v2: CHPX bold/size formatting runs)
     out_dir = (
         pathlib.Path("/root/repo/data/doc_legacy")
-        / f"v{datagen.DATAGEN_VERSION}"
+        / f"v{datagen.DATAGEN_VERSION}.2"
         / f"sf{sf:g}"
     )
     out = out_dir / "docs.parquet"
@@ -348,7 +536,7 @@ def ensure_doc(sf: float) -> str:
     rows = [
         {
             "doc_id": row["doc_id"],
-            "content": build_doc(spans_to_paragraph_items(row["spans"])),
+            "content": build_doc(spans_to_styled_items(row["spans"])),
         }
         for row in table
     ]

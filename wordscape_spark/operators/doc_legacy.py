@@ -9,11 +9,14 @@ formats involved ([MS-CFB] compound file + [MS-DOC] piece table) that
 recovers the main-document *text and paragraph structure* and emits it in
 the interleaved span grammar, so ``extract()`` runs unchanged downstream.
 
-Scope (documented): character/paragraph FORMATTING (CHPX/PAPX FKPs) is not
-decoded — every paragraph enters the classifier as style "normal", so
-classification degrades to the content-aware + body-font path.  That is the
-honest text-level analog of "convert then annotate": full-fidelity styling
-still requires the reference's LibreOffice conversion.
+Scope (documented): CHARACTER formatting (CHPX FKPs — bold via sprmCFBold
+0x0835, font size via sprmCHps 0x4A43) IS decoded and feeds the C10/C11
+font heuristics: per paragraph, the properties of its first character
+(paragraph-uniform in practice for converted docs).  PAPX (paragraph style
+names / istd → stylesheet) is not — every paragraph enters the classifier
+as style "normal" with real font signals, so heading detection runs on the
+font-heuristic + content-aware path.  Full named-style fidelity still
+requires the reference's LibreOffice conversion.
 
 Reader structure:
 
@@ -34,6 +37,7 @@ pin this chain against a dual-dialect SQL oracle over the interleaved table.
 
 from __future__ import annotations
 
+import bisect
 import struct
 from typing import Iterator
 
@@ -160,8 +164,92 @@ class CfbFile:
         raise KeyError(name)
 
 
-def extract_doc_text(data: bytes) -> str:
-    """Main-document text of a .doc byte string (piece-table reassembly)."""
+# sprm operand size by the spra (size-class) bits, [MS-DOC] 2.2.5.1;
+# class 6 is variable (first operand byte = cb)
+_SPRA_SIZE = {0: 1, 1: 1, 2: 2, 3: 4, 4: 2, 5: 2, 7: 3}
+_SPRM_CF_BOLD = 0x0835
+_SPRM_C_HPS = 0x4A43
+
+
+def _parse_chpx_props(grpprl: bytes) -> tuple[bool | None, float | None]:
+    """(bold, size_pt) from a CHPX grpprl.  sprmCFBold's ToggleOperand: 0 =
+    off, 1 = on; 0x80/0x81 (match/invert the style) need the stylesheet we
+    don't parse → unknown.  Unknown sprms are skipped by their spra size."""
+    bold: bool | None = None
+    size: float | None = None
+    pos = 0
+    while pos + 2 <= len(grpprl):
+        sprm = _u16(grpprl, pos)
+        pos += 2
+        spra = sprm >> 13
+        if spra == 6:
+            if pos >= len(grpprl):
+                break
+            cb = grpprl[pos]
+            operand = grpprl[pos + 1:pos + 1 + cb]
+            pos += 1 + cb
+        else:
+            nb = _SPRA_SIZE[spra]
+            operand = grpprl[pos:pos + nb]
+            pos += nb
+        if sprm == _SPRM_CF_BOLD and operand:
+            if operand[0] == 1:
+                bold = True
+            elif operand[0] == 0:
+                bold = False
+        elif sprm == _SPRM_C_HPS and len(operand) >= 2:
+            size = _u16(operand, 0) / 2.0
+    return bold, size
+
+
+def _chpx_runs(
+    wd: bytes, table: bytes
+) -> list[tuple[int, int, bool | None, float | None]]:
+    """(fcStart, fcEnd, bold, size) character runs from the PlcfBteChpx →
+    ChpxFkp chain; empty when the document carries no CHPX (or a malformed
+    one — formatting is a best-effort signal, never a parse failure)."""
+    fc = _u32(wd, 0x00FA)
+    lcb = _u32(wd, 0x00FE)
+    if lcb < 8 or fc + lcb > len(table):
+        return []
+    plc = table[fc:fc + lcb]
+    n = (lcb - 4) // 8
+    runs: list[tuple[int, int, bool | None, float | None]] = []
+    try:
+        for i in range(n):
+            pn = _u32(plc, 4 * (n + 1) + 4 * i)
+            page = wd[pn * 512:(pn + 1) * 512]
+            if len(page) < 512:
+                continue
+            crun = page[511]
+            if crun == 0 or 4 * (crun + 1) + crun > 511:
+                continue
+            base = 4 * (crun + 1)
+            for r in range(crun):
+                bx = page[base + r]
+                if bx == 0:
+                    continue
+                off = 2 * bx
+                cb = page[off]
+                props = _parse_chpx_props(page[off + 1:off + 1 + cb])
+                if props != (None, None):
+                    runs.append(
+                        (_u32(page, 4 * r), _u32(page, 4 * (r + 1)),
+                         props[0], props[1])
+                    )
+    except (struct.error, IndexError):
+        return []
+    runs.sort()
+    return runs
+
+
+def _doc_content(
+    data: bytes,
+) -> tuple[str, list, list]:
+    """(text, piece map, chpx runs) of a .doc byte string.  The piece map
+    carries (cp_start, cp_end, byte_off, bytes_per_cp) so a CP can be
+    mapped back to its real WordDocument-stream offset (what CHPX runs
+    address)."""
     cfb = CfbFile(data)
     wd = cfb.stream("WordDocument")
     if _u16(wd, 0) != 0xA5EC:
@@ -184,61 +272,118 @@ def extract_doc_text(data: bytes) -> str:
     cps = [_u32(plc, 4 * i) for i in range(n + 1)]
 
     parts = []
+    piece_map = []
+    total = 0
     for i in range(n):
         fc_raw = _u32(plc, 4 * (n + 1) + 8 * i + 2)
         count = cps[i + 1] - cps[i]
         if fc_raw & 0x40000000:  # fCompressed: cp1252 bytes at fc/2
             fc = (fc_raw & 0x3FFFFFFF) // 2
             parts.append(wd[fc:fc + count].decode("cp1252"))
+            piece_map.append((total, total + count, fc, 1))
         else:
             fc = fc_raw & 0x3FFFFFFF
             parts.append(wd[fc:fc + 2 * count].decode("utf-16-le"))
-    return "".join(parts)[:ccp_text]
+            piece_map.append((total, total + count, fc, 2))
+        total += count
+    return "".join(parts)[:ccp_text], piece_map, _chpx_runs(wd, table)
 
 
-def extract_doc_paragraphs(data: bytes) -> list[str | None]:
-    """Paragraph texts in document order; ``None`` marks a page break.
+def extract_doc_text(data: bytes) -> str:
+    """Main-document text of a .doc byte string (piece-table reassembly)."""
+    return _doc_content(data)[0]
+
+
+def _props_at_cp(
+    cp: int, piece_map: list, runs: list
+) -> tuple[bool | None, float | None]:
+    """Character formatting at a CP: map through the piece table to the
+    real stream offset, then find the covering CHPX run (``runs`` sorted
+    by fcStart — bisect on starts, verify coverage)."""
+    if not runs:
+        return None, None
+    for cp_s, cp_e, byte_off, bpc in piece_map:
+        if cp_s <= cp < cp_e:
+            fc = byte_off + bpc * (cp - cp_s)
+            lo = bisect.bisect_right(runs, (fc, float("inf"))) - 1
+            if lo >= 0:
+                f0, f1, bold, size = runs[lo]
+                if f0 <= fc < f1:
+                    return bold, size
+            return None, None
+    return None, None
+
+
+def extract_doc_paragraph_runs(
+    data: bytes,
+) -> list[tuple[str, bool | None, float | None] | None]:
+    """Paragraphs in document order as ``(text, bold, size_pt)``; ``None``
+    marks a page break.  Formatting is the CHPX properties of the
+    paragraph's FIRST character (including the mark of an empty paragraph
+    — Word formats the mark too).
 
     0x0D ends a paragraph, 0x07 ends a table cell/row (flattened to a
     paragraph boundary at text level), 0x0C is a page break; field/object
     control chars are stripped from the text."""
-    text = extract_doc_text(data)
-    out: list[str | None] = []
+    text, piece_map, runs = _doc_content(data)
+    out: list[tuple[str, bool | None, float | None] | None] = []
     buf: list[str] = []
-    for ch in text:
+    par_start = 0
+    for idx, ch in enumerate(text):
         o = ord(ch)
         if o in (0x0D, 0x07):
-            out.append("".join(buf))
+            out.append(
+                ("".join(buf), *_props_at_cp(par_start, piece_map, runs))
+            )
             buf = []
+            par_start = idx + 1
         elif o == 0x0C:
             if buf:
-                out.append("".join(buf))
+                out.append(
+                    ("".join(buf), *_props_at_cp(par_start, piece_map, runs))
+                )
                 buf = []
             out.append(None)  # page break
+            par_start = idx + 1
         elif o in _STRIP:
             continue
         else:
             buf.append(ch)
     if buf:
-        out.append("".join(buf))
+        out.append(("".join(buf), *_props_at_cp(par_start, piece_map, runs)))
     return out
+
+
+def extract_doc_paragraphs(data: bytes) -> list[str | None]:
+    """Paragraph texts in document order; ``None`` marks a page break."""
+    return [
+        item if item is None else item[0]
+        for item in extract_doc_paragraph_runs(data)
+    ]
 
 
 def parse_doc_bytes(data: bytes) -> list[dict]:
     """One .doc byte string → ordered span rows in the interleaved grammar
-    (every paragraph style "normal"; page breaks as ``pb`` spans)."""
+    (every paragraph style "normal" — PAPX/stylesheet out of scope — with
+    REAL font signals from the CHPX runs; page breaks as ``pb`` spans)."""
     rows = []
     par = 0
-    for item in extract_doc_paragraphs(data):
+    for item in extract_doc_paragraph_runs(data):
         if item is None:
             rows.append(
                 {"kind": sig.PAGE_BREAK, "text": None, "media_ref": None}
             )
             continue
+        text, bold, size = item
         rows.append(
             {
-                "kind": sig.encode_run(par=par, style="normal"),
-                "text": item,
+                "kind": sig.encode_run(
+                    par=par,
+                    style="normal",
+                    size=sig.FONT_UNKNOWN if size is None else size,
+                    bold=bold,
+                ),
+                "text": text,
                 "media_ref": None,
             }
         )

@@ -308,12 +308,32 @@ def with_ivf_cell_rounded(
     )
 
 
+SEMDEDUP_CELL_TARGET = 1024  # aim cells at ~10^3 docs (SemDeDup paper scale)
+SEMDEDUP_NLIST_CAP = 65_536  # driver-side k-means training bound (FAISS-ish)
+
+
+def semantic_nlist(n_docs: int) -> int:
+    """Derive the SemDeDup cell count from corpus cardinality: target
+    ~``SEMDEDUP_CELL_TARGET`` docs per cell so the within-cell self-join
+    stays O(N · cell_size), never O((N/constant)²).  A fixed small nlist
+    is a scale-killer — with 8 cells the pair join is all-pairs with a
+    constant shaved off.  Capped at ``SEMDEDUP_NLIST_CAP`` because the
+    deterministic trainer runs driver-side; past the cap (n_docs ≳ 6.7e7)
+    the per-cell pair cap bounds the work and a real deployment trains
+    centroids with FAISS/GPU and shards hierarchically."""
+    return min(
+        max(IVF_NLIST, -(-n_docs // SEMDEDUP_CELL_TARGET)),
+        SEMDEDUP_NLIST_CAP,
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    nlist: int = IVF_NLIST,
+    nlist: int | None = None,
+    max_cell_size: int = 4 * SEMDEDUP_CELL_TARGET,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     cluster embeddings (the IVF k-means cells), mark within-cell pairs with
@@ -326,16 +346,37 @@ def semantic_dedup(
     corpus scale: the pair join is an equi-join on the cell id, never a
     full cross join).  Plan shape: one scan for assignment (native
     expression), a cell-keyed self-join bounded by cell size, then the
-    O(diameter) min-label rounds of ``duplicate_clusters``."""
+    O(diameter) min-label rounds of ``duplicate_clusters``.
+
+    ``nlist`` defaults to ``semantic_nlist(corpus.count())`` — cells sized
+    for ~10^3 docs each.  Cells that still exceed ``max_cell_size`` (skewed
+    embedding mass: near-constant pages, SEO spam) are EXCLUDED from
+    pairing — documented lower-bound semantics, the same escape hatch as
+    the Jaccard ``max_shingle_df`` cap: their docs are all kept, never
+    mis-merged, and the join can't blow up on one hot cell."""
     from wordscape_spark.operators import dedup as D
 
+    if nlist is None:
+        nlist = semantic_nlist(corpus.count())
+    # the training sample must grow with nlist (k-means with fewer points
+    # than centroids degenerates); bounded driver-side like FAISS's
+    # train-on-sample recipe
+    sample_n = max(IVF_SAMPLE, 32 * nlist)
     cents = train_ivf_centroids(
-        sample_for_training(corpus, id_col, vec_col), nlist
+        sample_for_training(corpus, id_col, vec_col, n=sample_n), nlist
     )
     assigned = with_ivf_cell_rounded(corpus, cents, vec_col).select(
         F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec"),
         "ivf_cell",
     )
+    # hot-cell cap: count-only aggregate (≤ nlist rows), broadcast semi-join
+    ok_cells = (
+        assigned.groupBy("ivf_cell")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= max_cell_size)
+        .select("ivf_cell")
+    )
+    assigned = assigned.join(F.broadcast(ok_cells), "ivf_cell", "left_semi")
     a = assigned.select(
         F.col("doc_id").alias("doc_a"), F.col("vec").alias("va"), "ivf_cell"
     )

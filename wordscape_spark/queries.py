@@ -796,6 +796,50 @@ def q_doc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.extract(spans).filter("ok").select("doc_id", "text")
 
 
+def q_doc_styled_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 formatting signals, legacy binary: the .doc writer renders each
+    paragraph's first-run bold/size as real CHPX FKP runs (sprmCFBold /
+    sprmCHps) and the reader recovers them through the PlcfBteChpx chain —
+    so legacy docs feed the C10/C11 font heuristics instead of degrading
+    to content-only classification.  Verified surface: per-doc counts of
+    bold / explicitly-unbold / sized paragraphs + the half-point sum, all
+    recomputed by the oracle from the interleaved table alone (independent
+    of writer, reader, and span grammar).  Ref behavior this approximates:
+    LibreOffice conversion preserves character styling
+    (soffice/conversion_manager.py:161-223)."""
+    from wordscape_spark import docgen_doc
+    from wordscape_spark.operators import doc_legacy as DL
+
+    path = docgen_doc.ensure_doc(datagen.sf_from_dir(sf_dir))
+    spans = DL.doc_to_spans(spark.read.parquet(path))
+    runs = spans.select("doc_id", F.explode("spans").alias("s")).filter(
+        F.col("s.kind").startswith("r;")
+    )
+    parsed = runs.select(
+        "doc_id",
+        F.regexp_extract("s.kind", ";b=([^;]+)", 1).alias("b"),
+        F.regexp_extract("s.kind", ";sz=([^;]+)", 1)
+        .cast("double")
+        .alias("sz"),
+    )
+    return (
+        parsed.groupBy("doc_id")
+        .agg(
+            F.sum((F.col("b") == "1").cast("long")).alias("n_bold"),
+            F.sum((F.col("b") == "0").cast("long")).alias("n_unbold"),
+            F.sum((F.col("sz") >= 0).cast("long")).alias("n_sized"),
+            F.sum(
+                F.when(
+                    F.col("sz") >= 0, F.floor(F.col("sz") * 2 + F.lit(0.5))
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("sum_hps"),
+        )
+        .filter("n_bold + n_unbold + n_sized > 0")
+    )
+
+
 def q_doc_core_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D12: core properties + w:lang distinct tags (oxml_metadata.py:33-58).
     Oracle: direct SQL over the interleaved meta spans (independent of the
@@ -1264,7 +1308,11 @@ def build_oracle_sql() -> dict[str, str]:
     # SemDeDup — centroids recomputed here with the same deterministic
     # trainer over the same bounded sample (shared model parameter), then
     # everything else re-derived in pure SQL
-    from wordscape_spark.operators.similarity import train_ivf_centroids
+    from wordscape_spark.operators.similarity import (
+        IVF_SAMPLE,
+        semantic_nlist,
+        train_ivf_centroids,
+    )
 
     import pyarrow.parquet as _pq
 
@@ -1279,8 +1327,12 @@ def build_oracle_sql() -> dict[str, str]:
         ),
         key=lambda r: r["vec_id"],
     )
+    # mirror semantic_dedup's derived hyperparameters exactly
+    _sem_nlist = semantic_nlist(len(_emb_rows))
+    _sem_sample = max(IVF_SAMPLE, 32 * _sem_nlist)
     _sem_cents = train_ivf_centroids(
-        [[float(x) for x in r["embedding"]] for r in _emb_rows[:256]]
+        [[float(x) for x in r["embedding"]] for r in _emb_rows[:_sem_sample]],
+        _sem_nlist,
     )
     _cent_values = ",\n      ".join(
         f"({i + 1}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
@@ -1639,7 +1691,6 @@ def build_oracle_sql() -> dict[str, str]:
            CAST(doc_id AS VARCHAR) || '.docx' AS clean_url
     FROM documents
     """
-
     oracles["extract_spans"] = f"""
     SELECT doc_id, CAST("offset" AS INT) AS "offset", kind, text, media_ref,
            CAST(page AS INT) AS page
@@ -1944,6 +1995,38 @@ def build_oracle_sql() -> dict[str, str]:
     SELECT doc_id, text FROM serial WHERE length(text) >= 200
     """
 
+    # styled .doc ingestion: per-paragraph first-run bold/size must survive
+    # the CHPX write → FKP parse round-trip; expected counts derived from
+    # the interleaved table alone.  floor(sz*2+0.5) on BOTH sides (Python
+    # banker's rounding diverges from SQL round on exact halves).
+    oracles["doc_styled_ingest"] = f"""
+    WITH runs AS (
+      SELECT doc_id,
+             CAST(regexp_extract(u.kind, 'p=([0-9]+)', 1) AS INT) AS par,
+             u."offset" AS off,
+             regexp_extract(u.kind, ';b=([^;]+)', 1) AS b,
+             TRY_CAST(regexp_extract(u.kind, ';sz=([^;]+)', 1) AS DOUBLE)
+               AS sz
+      FROM (SELECT doc_id, unnest(spans) AS u FROM read_parquet('{ipath}'))
+      WHERE u.kind LIKE 'r;%'
+    ),
+    firsts AS (
+      SELECT doc_id, b, sz,
+             row_number() OVER (PARTITION BY doc_id, par ORDER BY off) AS rn
+      FROM runs
+    )
+    SELECT doc_id,
+      CAST(sum(CASE WHEN b = '1' THEN 1 ELSE 0 END) AS BIGINT) AS n_bold,
+      CAST(sum(CASE WHEN b = '0' THEN 1 ELSE 0 END) AS BIGINT) AS n_unbold,
+      CAST(sum(CASE WHEN sz >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sized,
+      CAST(sum(CASE WHEN sz >= 0
+                    THEN CAST(floor(sz * 2 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS sum_hps
+    FROM firsts WHERE rn = 1
+    GROUP BY doc_id
+    HAVING n_bold + n_unbold + n_sized > 0
+    """
+
     # hand-authored literal expectations — generated by no repo code
     # (wordscape_spark/fixtures.py, FIXTURE_EXPECTED)
     from wordscape_spark.fixtures import (
@@ -2028,6 +2111,7 @@ QUERIES = {
     "page_semi_join": q_page_semi_join,
     "doc_core_props": q_doc_core_props,
     "docx_ingest": q_docx_ingest,
+    "doc_styled_ingest": q_doc_styled_ingest,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
