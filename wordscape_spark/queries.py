@@ -129,6 +129,22 @@ def q_a_filter_doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wat_doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1, un-grafted: real WAT files (Common Crawl layout — WARC/1.0
+    framing, per-record gzip members) through the binaryFile+mapInPandas
+    source, metadata-record filter, recursive JSON doc-URL harvest
+    (cc_url_process.py:155-250), then stage-A hashing.  The oracle
+    recomputes the expected rows from the generator's ground-truth link
+    table — the WARC byte framing, rec_type skip, JSON recursion, and
+    anchored regex are all under test."""
+    from wordscape_spark import watgen
+    from wordscape_spark.sources import wat as WAT
+
+    wat_dir, _ = watgen.ensure_wat(datagen.sf_from_dir(sf_dir))
+    df = WAT.read_wat(spark, wat_dir)
+    return U.with_url_hash(df).select("record_uri", "url", "url_hash")
+
+
 # ---------------------------------------------------------------------------
 # Text operators
 # ---------------------------------------------------------------------------
@@ -1691,6 +1707,21 @@ def build_oracle_sql() -> dict[str, str]:
            CAST(doc_id AS VARCHAR) || '.docx' AS clean_url
     FROM documents
     """
+
+
+    # WAT harvest: expected rows from the generator's ground-truth link
+    # table (written before any WARC bytes exist) — metadata-only filter
+    # and the anchored doc-URL regex recomputed here in DuckDB
+    from wordscape_spark import watgen as _watgen
+    from wordscape_spark.sources.wat import DOC_URL_PATTERN as _WAT_PAT
+
+    _, _wat_truth = _watgen.ensure_wat(datagen.sf_from_dir(ORACLE_SF_DIR))
+    oracles["wat_doc_urls"] = f"""
+    SELECT record_uri, url, sha256(url) AS url_hash
+    FROM read_parquet('{_wat_truth}')
+    WHERE rec_type = 'metadata'
+      AND regexp_matches(url, '{_WAT_PAT}')
+    """
     oracles["extract_spans"] = f"""
     SELECT doc_id, CAST("offset" AS INT) AS "offset", kind, text, media_ref,
            CAST(page AS INT) AS page
@@ -2112,6 +2143,7 @@ QUERIES = {
     "doc_core_props": q_doc_core_props,
     "docx_ingest": q_docx_ingest,
     "doc_styled_ingest": q_doc_styled_ingest,
+    "wat_doc_urls": q_wat_doc_urls,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
