@@ -63,6 +63,30 @@ def test_plan_is_native(spark):
     assert "MapInPandas" not in plan
 
 
+def test_winnow_plan_has_zero_exchange(spark):
+    """Winnowing is document-local: the whole operator must plan without
+    any Exchange (the r4 posexplode+window formulation shuffled ~one row
+    per normalized character)."""
+    df = spark.createDataFrame([("d", "x" * 200)], "doc_id string, text string")
+    plan = FP.winnow_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_winnow_gram_hash_bound_once(spark):
+    """The gram-hash transform must appear exactly once in the optimized
+    plan: CollapseProject inlining it into the window-minima lambda makes
+    the operator O(grams²) per document (each position re-hashing every
+    gram — measured 65x on the sf0.01 fixture)."""
+    df = spark.createDataFrame([("d", "x" * 200)], "doc_id string, text string")
+    optimized = (
+        FP.winnow_fingerprints(df)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert optimized.count("md5") == 1, optimized
+
+
 def test_contamination_detects_planted_probe_overlap(spark):
     from wordscape_spark.operators.fingerprint import contamination_check
 

@@ -215,7 +215,14 @@ def ngram_jaccard_pairs(
         F.expr(shingles_expr(text_col, "spark")).alias("sh"),
     )
     sizes = shs.select("doc_id", F.size("sh").alias("n_sh"))
-    posts = shs.select("doc_id", F.explode("sh").alias("s"))
+    # explode_outer + isNotNull: stops InferFiltersFromGenerate inlining
+    # the shingle expression into pushed-down predicates (3x tokenize);
+    # the isNotNull filter on the exploded ATTRIBUTE drops the null rows
+    # outer emits for shingle-less docs, matching inner explode exactly
+    posts = (
+        shs.select("doc_id", F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+    )
     if max_shingle_df is not None:
         hot = (
             posts.groupBy("s")

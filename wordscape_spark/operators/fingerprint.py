@@ -94,7 +94,14 @@ def winnow_fingerprints(
             f" w -> array_min(slice(vs, w, {window})))))[0]"
         ).alias("pv"),
     )
-    return picks.select("doc_id", F.explode("pv").alias("v")).select(
+    # explode_outer, not explode: InferFiltersFromGenerate would add a
+    # pushed-down Filter (size(pv) > 0 AND isnotnull(pv)) whose predicates
+    # INLINE the whole pv expression — the md5 leg evaluated 3x per row.
+    # Outer generate blocks that inference, and it is semantically
+    # identical here: the length(t) >= k + window - 1 gate guarantees at
+    # least one complete window, so pv is never null or empty (pinned by
+    # test_winnow_gram_hash_bound_once).
+    return picks.select("doc_id", F.explode_outer("pv").alias("v")).select(
         "doc_id",
         (F.lit(_POS_MOD - 1) - F.col("v") % F.lit(_POS_MOD)).alias("pos"),
         # integer division — exact for the full 52-bit packed range
@@ -117,7 +124,11 @@ def _word_kgram_hashes(
         .filter(F.size("words") >= k)
         .select(
             out_id,
-            F.explode(
+            # explode_outer: blocks InferFiltersFromGenerate from inlining
+            # the gram transform into pushed-down size/isnotnull predicates
+            # (3x evaluation); the size(words) >= k gate guarantees the
+            # array is never empty, so outer == inner here
+            F.explode_outer(
                 F.expr(
                     f"transform(sequence(1, size(words) - {k} + 1),"
                     f" i -> concat_ws(' ', slice(words, i, {k})))"

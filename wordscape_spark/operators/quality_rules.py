@@ -171,13 +171,18 @@ def dup_line_metrics(
     lines = (
         df.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(
+            # explode_outer + isNotNull (an attribute filter) instead of
+            # explode: InferFiltersFromGenerate would otherwise inline the
+            # split+filter expression into pushed-down size/isnotnull
+            # predicates, re-splitting each document's text 3x
+            F.explode_outer(
                 F.expr(
                     f"filter(split(coalesce({text_col}, ''), '\\n'),"
                     " l -> l != '')"
                 )
             ).alias("line"),
         )
+        .filter(F.col("line").isNotNull())  # line-less docs, as inner explode
         .groupBy("doc_id", "line")
         .agg(F.count("*").alias("cnt"))
     )
