@@ -32,6 +32,25 @@ def test_keep_representatives(spark):
     assert kept == ["a", "d", "x", "z"]
 
 
+def test_long_chain_plan_stays_bounded(spark):
+    # A 14-hop chain forces ~log(diameter) extra propagation rounds; the
+    # labels frame is consumed twice per round, so without per-iteration
+    # lineage truncation (localCheckpoint) the logical plan doubles each
+    # round and the final plan string explodes into the megabytes.  Pin
+    # both the correctness of the deep chain and a sane plan size.
+    n = 15
+    ids = [f"d{i:02d}" for i in range(n)]
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)],
+        "doc_a string, doc_b string",
+    )
+    labels = D.duplicate_clusters(pairs)
+    plan = labels._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 100_000, f"plan grew to {len(plan)} chars"
+    rows = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert rows == {i: ids[0] for i in ids}
+
+
 def test_end_to_end_minhash_clustering(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     corpus = docs.selectExpr("CAST(doc_id AS STRING) doc_id", "text").unionByName(

@@ -330,6 +330,17 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     driver but all data stays distributed (no collect); iteration count is
     checked with a single count() per round on an aggregated (small) frame.
 
+    Each round truncates lineage with an eager ``localCheckpoint`` —
+    ``labels`` is referenced twice per iteration (neighbor join + change
+    probe), so without truncation the *logical plan* doubles every round
+    and Catalyst analysis goes exponential (a 2 GB plan string by round
+    ~20) even though the data itself is cached.  ``localCheckpoint``
+    stores the materialized partitions and replaces the plan with a leaf;
+    on a real cluster with executor loss, set ``spark.checkpoint.dir``
+    and switch to ``checkpoint()`` for replayability — the label frame is
+    (doc_id, cluster_id) over duplicate docs only, so it is small either
+    way.
+
     Raises RuntimeError when the label propagation has not converged after
     ``max_iterations`` (a duplicate chain longer than the budget) rather
     than silently returning split clusters.
@@ -363,7 +374,7 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
                     F.coalesce("neighbor_cluster", "cluster_id"),
                 ).alias("cluster_id"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
