@@ -366,6 +366,7 @@ def _gen_ann_ivf(sf_dir: str, out: pathlib.Path) -> None:
     from wordscape_spark.operators.similarity import (
         IVF_NPROBE,
         IVF_SAMPLE,
+        sample_order_key,
         train_ivf_centroids,
     )
 
@@ -374,8 +375,12 @@ def _gen_ann_ivf(sf_dir: str, out: pathlib.Path) -> None:
     ).to_pylist()
     ids = [r["vec_id"] for r in rows]
     vecs = [[float(x) for x in r["embedding"]] for r in rows]
+    # mirror sample_for_training: md5-hash order, id tiebreak
     sample = [
-        v for _, v in sorted(zip(ids, vecs), key=lambda t: t[0])
+        v
+        for _, v in sorted(
+            zip(ids, vecs), key=lambda t: (sample_order_key(t[0]), t[0])
+        )
     ][:IVF_SAMPLE]
     cents = train_ivf_centroids(sample)
 

@@ -195,9 +195,14 @@ def train_ivf_centroids(
     This is the IVF *training* step, which is driver-side by design — the
     standard IVF recipe (FAISS) trains centroids on a bounded sample
     (~10^5-10^6 vectors) regardless of corpus size; only assignment and
-    search are distributed.  Init is an even stride over the sample,
-    updates are plain Lloyd steps on L2-normalized vectors, ties go to the
-    lowest cell index — fully reproducible, no RNG.
+    search are distributed.  Init is deterministic farthest-first
+    (k-means++ shape without the RNG): seed with the first sample vector,
+    then repeatedly take the vector least similar to its nearest chosen
+    centroid, ties to the lowest index — robust to however the sample is
+    ordered, unlike a stride over the sample.  Updates are plain Lloyd
+    steps on L2-normalized vectors, ties go to the lowest cell index —
+    fully reproducible, no RNG.  Init cost is O(n·k), the same as one
+    Lloyd iteration.
     """
     if not sample:
         return []
@@ -206,7 +211,16 @@ def train_ivf_centroids(
         n = _norm(v)
         unit.append([x / n for x in v] if n > 0 else list(v))
     nlist = min(nlist, len(unit))
-    cents = [unit[(i * len(unit)) // nlist] for i in range(nlist)]
+    cents = [unit[0]]
+    # best_s[i] = similarity of unit[i] to its nearest chosen centroid
+    best_s = [_fold_dot(unit[0], v) for v in unit]
+    while len(cents) < nlist:
+        far = min(range(len(unit)), key=lambda i: (best_s[i], i))
+        cents.append(unit[far])
+        for i, v in enumerate(unit):
+            s = _fold_dot(unit[far], v)
+            if s > best_s[i]:
+                best_s[i] = s
     for _ in range(iters):
         sums = [[0.0] * len(unit[0]) for _ in range(nlist)]
         counts = [0] * nlist
@@ -229,16 +243,41 @@ def train_ivf_centroids(
     return cents
 
 
+def sample_order_key(id_val) -> str:
+    """Pure-Python twin of the sampling order key used by
+    ``sample_for_training`` — md5 of the stringified id.  Golden/oracle
+    generators sort by this to reproduce the exact sample outside Spark
+    (Spark ``md5(cast(id as string))``, DuckDB ``md5(id::VARCHAR)`` and
+    ``hashlib.md5`` all agree byte-for-byte)."""
+    import hashlib
+
+    return hashlib.md5(str(id_val).encode()).hexdigest()
+
+
 def sample_for_training(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n: int = IVF_SAMPLE,
 ) -> list[list[float]]:
-    """Bounded deterministic training sample: the ``n`` lowest-id vectors
-    (TakeOrdered — per-partition top-n then merge, no global sort)."""
+    """Bounded deterministic training sample, decorrelated from id order.
+
+    Takes the ``n`` vectors with the lowest ``md5(cast(id as string))``
+    (TakeOrdered — per-partition top-n then merge, no global sort, no
+    RNG).  Hash order matters at scale: ids arrive clustered (one crawl
+    segment, one domain, one shard), so an id-ordered head is a
+    *correlated* sample and k-means degenerates to centroids that all
+    describe the first shard — measured on a skewed synthetic corpus this
+    left >half the corpus in over-cap cells (BENCH/SEMDEDUP.md).  Hashing
+    the id gives a uniform draw over the corpus while staying fully
+    deterministic and mirrorable outside Spark (``sample_order_key``);
+    md5 rather than xxhash64 precisely so the pure-Python golden
+    generators can reproduce the sample."""
     rows = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(n).collect()
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(n)
+        .collect()
     )
     return [[float(x) for x in r[vec_col]] for r in rows]
 

@@ -1326,28 +1326,30 @@ def build_oracle_sql() -> dict[str, str]:
     # everything else re-derived in pure SQL
     from wordscape_spark.operators.similarity import (
         IVF_SAMPLE,
+        sample_order_key,
         semantic_nlist,
         train_ivf_centroids,
     )
 
     import pyarrow.parquet as _pq
 
-    _emb_rows = sorted(
-        (
-            r
-            for r in _pq.read_table(
-                f"{ORACLE_SF_DIR}/embeddings.parquet",
-                columns=["vec_id", "embedding"],
-            ).to_pylist()
-            if r["vec_id"] < 300
-        ),
-        key=lambda r: r["vec_id"],
-    )
-    # mirror semantic_dedup's derived hyperparameters exactly
+    _emb_rows = [
+        r
+        for r in _pq.read_table(
+            f"{ORACLE_SF_DIR}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+        ).to_pylist()
+        if r["vec_id"] < 300
+    ]
+    # mirror semantic_dedup's derived hyperparameters exactly, incl. the
+    # md5-hash-ordered training sample (sample_for_training's twin)
     _sem_nlist = semantic_nlist(len(_emb_rows))
     _sem_sample = max(IVF_SAMPLE, 32 * _sem_nlist)
+    _sem_head = sorted(
+        _emb_rows, key=lambda r: (sample_order_key(r["vec_id"]), r["vec_id"])
+    )[:_sem_sample]
     _sem_cents = train_ivf_centroids(
-        [[float(x) for x in r["embedding"]] for r in _emb_rows[:_sem_sample]],
+        [[float(x) for x in r["embedding"]] for r in _sem_head],
         _sem_nlist,
     )
     _cent_values = ",\n      ".join(
