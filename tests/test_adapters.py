@@ -136,3 +136,101 @@ def test_kenlm_seam_end_to_end(spark):
         df, scorer=A.kenlm_scorer(TINY_ARPA_PATH)
     ).first()
     assert out["perplexity"] > 0
+
+
+# --- oletools OleID maldoc indicators -------------------------------------
+
+
+@pytest.fixture
+def fake_oletools(monkeypatch):
+    class _Ind:
+        def __init__(self, id, value, risk):
+            self.id, self.value, self.risk = id, value, risk
+
+    class _OleID:
+        def __init__(self, f):
+            self._head = f.read(4)
+
+        def check(self):
+            if self._head == b"BOOM":
+                raise ValueError("not an OLE file")
+            return [
+                _Ind("vba", True, "HIGH"),
+                _Ind("encrypted", True, "info"),   # info risk -> not raised
+                _Ind("flash", False, "HIGH"),      # falsy value -> not raised
+                _Ind("unrelated", True, "HIGH"),   # not in names -> ignored
+            ]
+
+    oleid_mod = types.ModuleType("oletools.oleid")
+    oleid_mod.OleID = _OleID
+    pkg = types.ModuleType("oletools")
+    pkg.oleid = oleid_mod
+    monkeypatch.setitem(sys.modules, "oletools", pkg)
+    monkeypatch.setitem(sys.modules, "oletools.oleid", oleid_mod)
+    yield pkg
+
+
+def test_oleid_adapter_contract(fake_oletools):
+    fn = A.oleid_indicators(("vba", "encrypted", "flash"))
+    out = fn(b"\xd0\xcf\x11\xe0 fake ole body")
+    assert out == {"vba": True, "encrypted": False, "flash": False}
+
+
+def test_oleid_adapter_fails_closed_on_unparseable(fake_oletools):
+    fn = A.oleid_indicators(("vba", "encrypted"))
+    assert fn(b"BOOM not ole") == {"vba": True, "encrypted": True}
+
+
+def test_oleid_adapter_pickles_by_reference(fake_oletools):
+    import pickle
+
+    fn = pickle.loads(pickle.dumps(A.oleid_indicators(("vba",))))
+    assert fn(b"\xd0\xcf\x11\xe0 x") == {"vba": True}
+
+
+def test_oleid_missing_backend_raises_actionable_importerror(monkeypatch):
+    monkeypatch.setitem(sys.modules, "oletools", None)
+    with pytest.raises(ImportError, match="pip install .?oletools"):
+        A.oleid_indicators(("vba",))(b"\xd0\xcf\x11\xe0")
+
+
+def _fake_indicator_backend(content: bytes) -> dict:
+    # NB: defined at test-module level only for the requires-names test
+    # below (driver-side); the Spark seam test uses a local def so
+    # cloudpickle serializes it by VALUE — executors cannot import the
+    # test module.
+    return {"vba": b"VBA" in content, "xlm": b"XLM" in content}
+
+
+def test_maldoc_injection_seam_end_to_end(spark):
+    from wordscape_spark.operators import maldoc as MD
+
+    def fake_backend(content: bytes) -> dict:
+        return {"vba": b"VBA" in content, "xlm": b"XLM" in content}
+
+    media = spark.createDataFrame(
+        [("d1", "m1", b"clean bytes"), ("d2", "m2", b"has VBA macro"),
+         ("d3", "m3", b"has XLM sheet")],
+        "doc_id string, media_ref string, content binary",
+    )
+    out = MD.maldoc_check(
+        media,
+        indicators=fake_backend,
+        indicator_names=["vba", "xlm"],
+        fatal=frozenset({"vba"}),  # xlm flagged but not fatal
+    ).orderBy("doc_id")
+    rows = out.collect()
+    assert [r["malicious"] for r in rows] == [False, True, False]
+    assert [r["ind_xlm"] for r in rows] == [False, False, True]
+    assert out.columns == ["doc_id", "media_ref", "ind_vba", "ind_xlm",
+                           "malicious"]
+
+
+def test_maldoc_injection_requires_names(spark):
+    from wordscape_spark.operators import maldoc as MD
+
+    media = spark.createDataFrame(
+        [("d1", "m1", b"x")], "doc_id string, media_ref string, content binary"
+    )
+    with pytest.raises(ValueError, match="indicator_names"):
+        MD.maldoc_check(media, indicators=_fake_indicator_backend)

@@ -129,3 +129,59 @@ def kenlm_scorer(path: str, match_lang: str = "en"):
     """A picklable scorer for ``with_perplexity(scorer=…)`` backed by a
     real KenLM model lazy-loaded once per executor."""
     return functools.partial(_kenlm_score, path=path, match_lang=match_lang)
+
+
+# ---------------------------------------------------------------------------
+# oletools OleID maldoc indicators
+# ---------------------------------------------------------------------------
+
+# the reference's fatal indicator set — OleID indicators above INFO risk
+# that reject a document (reference: app/src/data_sources/maldoc_check.py:13-29)
+OLEID_FATAL = (
+    "appname",
+    "codepage",
+    "encrypted",
+    "ext_rels",
+    "ObjectPool",
+    "vba",
+    "xlm",
+    "flash",
+)
+_OLEID_SAFE_RISKS = frozenset({"", "none", "info"})
+
+
+def _oleid_check(content: bytes, names: tuple) -> dict:
+    """Real OleID scan → ``{indicator_id: raised}`` over ``names``.
+
+    An indicator counts as raised when OleID reports it truthy at a risk
+    above INFO (the reference's threshold).  Containers OleID cannot parse
+    at all fail CLOSED — every indicator raised — because an unparseable
+    OLE stream is exactly what a malicious-document gate must not wave
+    through."""
+    try:
+        from oletools import oleid
+    except ImportError as e:  # pragma: no cover - exercised via stub
+        raise ImportError(
+            "oletools is required for oleid_indicators — `pip install "
+            "oletools`; without it maldoc_check's deterministic "
+            "byte-pattern surrogate still works"
+        ) from e
+    import io
+
+    flags = {n: False for n in names}
+    try:
+        oid = oleid.OleID(io.BytesIO(bytes(content)))
+        for ind in oid.check():
+            if ind.id in flags:
+                risk = str(getattr(ind, "risk", "")).lower()
+                flags[ind.id] = bool(ind.value) and risk not in _OLEID_SAFE_RISKS
+    except Exception:
+        return {n: True for n in names}
+    return flags
+
+
+def oleid_indicators(names: tuple = OLEID_FATAL):
+    """A picklable indicator backend for
+    ``maldoc_check(indicators=…, indicator_names=list(names))`` backed by
+    real oletools OleID (lazy-imported per executor)."""
+    return functools.partial(_oleid_check, names=tuple(names))
