@@ -119,3 +119,19 @@ def test_semantic_dedup_keeps_one_per_component(spark):
         for r in S.semantic_dedup(df, threshold=0.9, nlist=1).collect()
     )
     assert kept == [1, 10]
+
+
+def test_training_sample_mirror_parity(spark, emb):
+    """sample_for_training (Spark md5-ordered TakeOrdered) must select the
+    exact same vectors as the pure-Python sample_order_key mirror that the
+    golden/oracle generators sort by — if these drift, the inlined
+    centroids on the oracle side silently diverge from the operator's."""
+    spark_sample = SIM.sample_for_training(emb, n=64)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    mirrored = sorted(
+        rows, key=lambda r: (SIM.sample_order_key(r["vec_id"]), r["vec_id"])
+    )[:64]
+    py_sample = [[float(x) for x in r["embedding"]] for r in mirrored]
+
+    assert spark_sample == py_sample
