@@ -93,3 +93,55 @@ def test_null_text_yields_zero_metrics_not_nulls(spark):
     assert all(v is not None for v in out["n"].values())
     cleaned = {r["doc_id"] for r in QR.c4_clean(df).collect()}
     assert cleaned == {"ok"}
+
+
+def test_line_dedup_hand_values(spark):
+    rows = [
+        # "shared footer" appears in 3 docs -> dropped everywhere,
+        # including BOTH occurrences in doc a (removal is by content,
+        # not by first occurrence)
+        ("a", "alpha text\nshared footer\nmiddle a\nshared footer"),
+        ("b", "shared footer\nbeta text"),
+        ("c", "gamma text\nshared footer"),
+        # within-doc repeat only (df = 1 distinct doc) -> KEPT: corpus
+        # line dedup must not eat document-local repetition (that is
+        # gopher dup_line_frac's signal)
+        ("d", "solo repeat\nsolo repeat\nother d"),
+        # doc that is ONLY boilerplate -> removed entirely from output
+        ("e", "shared footer"),
+        ("f", None),  # NULL text -> no lines -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r.asDict() for r in QR.line_dedup(df).collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    assert out["a"]["clean_text"] == "alpha text\nmiddle a"
+    assert out["a"]["n_lines_kept"] == 2
+    assert out["a"]["n_lines_dropped"] == 2
+    assert out["b"]["clean_text"] == "beta text"
+    assert out["c"]["clean_text"] == "gamma text"
+    assert out["d"]["clean_text"] == "solo repeat\nsolo repeat\nother d"
+    assert out["d"]["n_lines_dropped"] == 0
+
+
+def test_line_dedup_min_df(spark):
+    rows = [
+        ("a", "pairline\nown a"),
+        ("b", "pairline\nown b"),
+        ("c", "own c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in QR.line_dedup(df, min_df=3).collect()}
+    # df=2 < min_df=3 -> nothing removed
+    assert out["a"]["clean_text"] == "pairline\nown a"
+    assert out["b"]["n_lines_dropped"] == 0
+
+
+def test_line_dedup_plan_stays_native(spark):
+    """No Python eval anywhere: count pass, drop-list pass and rewrite are
+    all native expressions (the operator is usable inside whole-stage
+    codegen pipelines at 100 TB)."""
+    df = spark.createDataFrame([("d", "x\ny")], "doc_id string, text string")
+    plan = QR.line_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -274,3 +274,80 @@ def gopher_quality(
         & (F.col("dup_line_frac") <= MAX_DUP_LINE_FRAC)
         & (F.col("dup_line_char_frac") <= MAX_DUP_LINE_CHAR_FRAC),
     )
+
+
+def line_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_df: int = 2,
+) -> DataFrame:
+    """Corpus-level duplicated-line removal (CCNet §4.1 / RefinedWeb "line
+    deduplication"): drop EVERY occurrence of any non-empty line that
+    appears in ≥ ``min_df`` distinct documents — the cross-document
+    boilerplate signal (nav menus, footers, license blurbs) that
+    document-local ``dup_line_*`` metrics cannot see.
+
+    Returns (doc_id, clean_text, n_lines_kept, n_lines_dropped), dropping
+    documents left empty — the same surface as :func:`c4_clean`.
+
+    Scale shape (the part that matters at 100 TB): document text NEVER
+    shuffles.  Lines are keyed by full ``md5`` (128-bit — a 60-bit prefix
+    would collide at 10^12-doc line cardinalities):
+
+    1. per-doc DISTINCT line hashes (``array_distinct`` — document-local,
+       no shuffle) explode to (doc_id, h);
+    2. ``COUNT(*)`` per hash = distinct-document frequency (partial,
+       map-side-combined aggregation over 32-byte keys);
+    3. duplicated hashes semi-join back onto the SAME (doc_id, h) pairs
+       and regroup to a per-doc drop list — only the duplicated lines'
+       hashes shuffle, a small fraction of the corpus by construction;
+    4. the rewrite is a per-row ``filter`` over the original lines array
+       against the broadcast-joinable per-doc drop list (left join keyed
+       by doc_id; text stays in place).
+
+    Oracle: the identical formulation in DuckDB (md5 exists in both
+    dialects, so even hash collisions — astronomically unlikely — agree).
+    """
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+        )
+        .withColumn("lines", F.expr("filter(split(t, '\\n'), l -> l != '')"))
+    )
+    doc_distinct = base.select(
+        "doc_id",
+        F.explode(
+            F.expr("array_distinct(transform(lines, l -> md5(l)))")
+        ).alias("h"),
+    )
+    dup = (
+        doc_distinct.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= F.lit(min_df))
+        .select("h")
+    )
+    drops = (
+        doc_distinct.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("drop_hashes"))
+    )
+    return (
+        base.join(drops, "doc_id", "left")
+        .withColumn(
+            "drop_hashes",
+            F.coalesce("drop_hashes", F.expr("CAST(array() AS ARRAY<STRING>)")),
+        )
+        .withColumn(
+            "kept",
+            F.expr("filter(lines, l -> NOT array_contains(drop_hashes, md5(l)))"),
+        )
+        .filter(F.size("kept") > 0)
+        .select(
+            "doc_id",
+            F.array_join("kept", "\n").alias("clean_text"),
+            F.size("kept").cast("long").alias("n_lines_kept"),
+            (F.size("lines") - F.size("kept")).cast("long").alias(
+                "n_lines_dropped"
+            ),
+        )
+    )

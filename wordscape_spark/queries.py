@@ -297,6 +297,20 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-line removal (CCNet/RefinedWeb line dedup)
+    over the extracted document text: every occurrence of any line shared
+    by >= 2 distinct documents is dropped (cross-document boilerplate).
+    The extracted corpus genuinely exercises it: repeated headings/footers
+    recur across documents (24 cross-doc duplicate lines at sf0.01, one in
+    301 documents).  Oracle: the identical md5-keyed formulation re-derived
+    by DuckDB over the golden doc text."""
+    from wordscape_spark.operators import quality_rules as QR
+
+    docs = _extracted(spark, sf_dir).filter("ok").select("doc_id", "text")
+    return QR.line_dedup(docs)
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition + composition quality rules (Rae et al.
     2021 §A1.1; operators/quality_rules.py) — all native expressions.
@@ -1426,6 +1440,40 @@ def build_oracle_sql() -> dict[str, str]:
     FROM k WHERE len(kept) > 0
     """
 
+    # corpus-level line dedup — identical md5-keyed formulation
+    oracles["line_dedup"] = f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
+      FROM read_parquet('{gold}/doc_meta.parquet')
+    ),
+    ex AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(lines, l -> md5(l)))) AS h
+      FROM base
+    ),
+    dup AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) >= 2),
+    drops AS (
+      SELECT doc_id, list(h) AS drop_hashes
+      FROM ex WHERE h IN (SELECT h FROM dup)
+      GROUP BY doc_id
+    ),
+    k AS (
+      SELECT b.doc_id,
+             CASE WHEN d.drop_hashes IS NULL THEN b.lines
+                  ELSE list_filter(b.lines,
+                         l -> NOT list_contains(d.drop_hashes, md5(l)))
+             END AS kept,
+             len(b.lines) AS total
+      FROM base b LEFT JOIN drops d ON b.doc_id = d.doc_id
+    )
+    SELECT doc_id,
+           array_to_string(kept, chr(10)) AS clean_text,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept,
+           CAST(total - len(kept) AS BIGINT) AS n_lines_dropped
+    FROM k WHERE len(kept) > 0
+    """
+
     # Gopher quality rules — identical formulation, DuckDB dialect
     stopset = ", ".join(f"'{s}'" for s in
                         ("the", "be", "to", "of", "and", "that", "have",
@@ -2146,6 +2194,7 @@ QUERIES = {
     "docx_ingest": q_docx_ingest,
     "doc_styled_ingest": q_doc_styled_ingest,
     "wat_doc_urls": q_wat_doc_urls,
+    "line_dedup": q_line_dedup,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
