@@ -93,3 +93,25 @@ def test_partitioning_invariance(spark, docs_path):
         for r in X.extract(docs.coalesce(1), DEFAULT_CONFIG).collect()
     }
     assert a == b
+
+
+def test_salted_slim_equals_salted_full(spark, docs_path):
+    """extract_slim's mega-doc branch emits slim rows at the chunk merge
+    (never the fat EXTRACTED_SCHEMA); forcing (nearly) every doc through
+    the salted path must still match the full path's span surface
+    bit-for-bit (doc_id, ok, reject_reason, spans incl. page)."""
+    cfg = dataclasses.replace(DEFAULT_CONFIG, salt_threshold=20,
+                              salt_chunk_spans=8)
+    docs = spark.read.parquet(docs_path)
+    slim = {r["doc_id"]: r for r in X.extract_slim(docs, cfg).collect()}
+    full = {r["doc_id"]: r for r in X.extract(docs, cfg).collect()}
+    assert set(slim) == set(full)
+    for doc_id, f in full.items():
+        s = slim[doc_id]
+        assert s["ok"] == f["ok"], doc_id
+        assert s["reject_reason"] == f["reject_reason"], doc_id
+        assert s["spans"] == f["spans"], doc_id
+    # and the slim schema stayed slim
+    assert set(X.extract_slim(docs, cfg).columns) == {
+        "doc_id", "ok", "reject_reason", "spans"
+    }

@@ -556,7 +556,12 @@ class _ChunkError(Exception):
     pass
 
 
-def _make_merge_partials_fn(cfg: ExtractConfig):
+def _make_merge_partials_fn(cfg: ExtractConfig, row_fn=_result_row):
+    """``row_fn`` picks the output surface: ``_result_row`` (full
+    EXTRACTED_SCHEMA) or ``_result_row_slim`` (span surface only) — the
+    merge logic is identical, only the returned row (and therefore the
+    Arrow return-leg volume) differs."""
+
     def merge_partials(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("chunk_idx")
         for marker in pdf["char_counter"]:
@@ -564,14 +569,14 @@ def _make_merge_partials_fn(cfg: ExtractConfig):
                 res = C.DocResult(
                     False, f"error:{marker[4:]}", [], "", {}, 0.0, {}
                 )
-                return pd.DataFrame([_result_row(key[0], res)])
+                return pd.DataFrame([row_fn(key[0], res)])
             if marker.startswith("REJ:"):
                 res = C.DocResult(False, marker[4:], [], "", {}, 0.0, {})
-                return pd.DataFrame([_result_row(key[0], res)])
+                return pd.DataFrame([row_fn(key[0], res)])
         text = "\n".join(t for t in pdf["text"] if len(t) > 0)
         if len(text) < cfg.min_text_chars:
             res = C.DocResult(False, "min_text", [], text, {}, 0.0, {})
-            return pd.DataFrame([_result_row(key[0], res)])
+            return pd.DataFrame([row_fn(key[0], res)])
         spans: list[tuple] = []
         span_pages: list[int] = []
         counts: dict[str, int] = {}
@@ -624,7 +629,7 @@ def _make_merge_partials_fn(cfg: ExtractConfig):
             props=doc_props,
             lang_tags=sorted(lang_tags),
         )
-        return pd.DataFrame([_result_row(key[0], res)])
+        return pd.DataFrame([row_fn(key[0], res)])
 
     return merge_partials
 
@@ -693,11 +698,26 @@ def extract(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
         _make_classify_arrow_fn(cfg), schema=EXTRACTED_SCHEMA
     )
 
-    # salted path: chunk → merge font state → broadcast join → classify →
-    # merge partials.  The groupBy keys are mega-doc ids only (few), so the
-    # shuffles here touch a tiny fraction of the data.  The chunk stage is
-    # persisted: it feeds both the font-state merge and the classify join,
-    # and would otherwise be recomputed per consumer.
+    big_out = _extract_salted(big, cfg)
+
+    return small_out.unionByName(big_out)
+
+
+def _extract_salted(
+    big: DataFrame,
+    cfg: ExtractConfig,
+    row_fn=_result_row,
+    out_schema: StructType = EXTRACTED_SCHEMA,
+) -> DataFrame:
+    """The salted mega-doc path: chunk → merge font state → broadcast join
+    → classify → merge partials.  The groupBy keys are mega-doc ids only
+    (few), so the shuffles here touch a tiny fraction of the data.  The
+    chunk stage is persisted: it feeds both the font-state merge and the
+    classify join, and would otherwise be recomputed per consumer.
+
+    ``row_fn``/``out_schema`` choose the output surface (full vs slim) at
+    the final merge, so slim consumers never pay the fat Arrow return leg
+    even for mega-docs."""
     chunks = (
         ensure_parallelism(big.select("doc_id", "spans"))
         .mapInPandas(_make_chunk_fn(cfg), schema=_CHUNK_SCHEMA)
@@ -716,11 +736,9 @@ def extract(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
         .join(F.broadcast(font_maps), "doc_id")
         .mapInPandas(_make_chunk_classify_fn(cfg), schema=_PARTIAL_SCHEMA)
     )
-    big_out = classified.groupBy("doc_id").applyInPandas(
-        _make_merge_partials_fn(cfg), schema=EXTRACTED_SCHEMA
+    return classified.groupBy("doc_id").applyInPandas(
+        _make_merge_partials_fn(cfg, row_fn), schema=out_schema
     )
-
-    return small_out.unionByName(big_out)
 
 
 def extract_slim(
@@ -731,9 +749,9 @@ def extract_slim(
     without the metadata columns.  Catalyst cannot prune columns through an
     opaque mapInArrow, so a caller that wants only spans must choose the
     slim function, not project afterward.  Same classifier, same salted
-    mega-doc handling (the salted branch reuses the full path and projects
-    — mega-docs are rare by construction, so the saving is on the small
-    path where the volume is)."""
+    mega-doc handling — the salted branch shares the full path's
+    chunk/classify/merge pipeline but emits slim rows at the final merge,
+    so mega-doc-heavy tables skip the fat return leg too."""
     if "n_spans" in docs.columns:
         n_spans = F.col("n_spans")
         small = docs.filter(
@@ -751,8 +769,8 @@ def extract_slim(
         ),
         schema=EXTRACTED_SLIM_SCHEMA,
     )
-    big_out = extract(big, cfg).select(
-        "doc_id", "ok", "reject_reason", "spans"
+    big_out = _extract_salted(
+        big, cfg, row_fn=_result_row_slim, out_schema=EXTRACTED_SLIM_SCHEMA
     )
     return small_out.unionByName(big_out)
 
