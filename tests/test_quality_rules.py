@@ -145,3 +145,77 @@ def test_line_dedup_plan_stays_native(spark):
     plan = QR.line_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_pii_scrub_hand_values(spark):
+    rows = [
+        ("a", "write to jane.doe+x@sub.example.org or call +1 (555) 010-4242"
+              " from 192.168.0.1 ok"),
+        # dotted-quad inside a mailbox domain is consumed by the EMAIL
+        # pattern first (precedence), so it must not count as an IP
+        ("b", "bob@1.2.3.4mail.com only"),
+        ("c", "no pii here at all"),
+        ("d", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r.asDict() for r in QR.pii_scrub(df).collect()}
+    a = out["a"]
+    assert a["n_emails"] == 1 and a["n_phones"] == 1 and a["n_ips"] == 1
+    assert a["clean_text"] == (
+        "write to |||EMAIL||| or call |||PHONE||| from |||IP||| ok"
+    )
+    b = out["b"]
+    assert b["n_emails"] == 1 and b["n_ips"] == 0
+    assert b["clean_text"] == "|||EMAIL||| only"
+    assert out["c"]["clean_text"] == "no pii here at all"
+    assert out["c"]["n_emails"] == 0
+    assert out["d"]["clean_text"] == ""
+
+
+def test_pii_scrub_plan_stays_native(spark):
+    df = spark.createDataFrame([("d", "x")], "doc_id string, text string")
+    plan = QR.pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # per-row: no shuffle at all
+    assert "BatchEvalPython" not in plan
+
+
+def test_top_ngram_hand_values(spark):
+    rows = [
+        ("ab", "a b a b a b"),
+        ("short", "hello"),
+        ("empty", ""),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in QR.top_ngram_metrics(df).collect()}
+    ab = out["ab"]
+    # content = "a b a b a b" (11 chars); 2-grams: "a b"x3, "b a"x2
+    # -> top mass 3*3=9; 3-grams tie at cnt 2 ("a b a", "b a b", both
+    # len 5) -> mass 10; 4-grams: "a b a b"x2 (len 7) -> 14
+    assert ab["top_2gram_char_frac"] == round(9 / 11, 6)
+    assert ab["top_3gram_char_frac"] == round(10 / 11, 6)
+    assert ab["top_4gram_char_frac"] == round(14 / 11, 6)
+    for d in ("short", "empty", "null"):
+        assert out[d]["top_2gram_char_frac"] == 0.0
+        assert out[d]["top_4gram_char_frac"] == 0.0
+
+
+def test_top_ngram_tie_takes_larger_mass(spark):
+    # "xx yy xx yy" vs "a b a b": cnt("xx yy")=2 == cnt("b a")... build a
+    # clean tie: two 2-grams each with cnt 2, different char mass
+    df = spark.createDataFrame(
+        [("t", "aa bb aa bb cc d cc d")], "doc_id string, text string"
+    )
+    out = QR.top_ngram_metrics(df).collect()[0].asDict()
+    # 2-grams: "aa bb"x2 (mass 10), "bb aa"x1, "bb cc"x1, "cc d"x2
+    # (mass 8), "d cc"x1 -> tie on cnt 2 resolves to mass 10
+    assert out["top_2gram_char_frac"] == round(10 / 21, 6)
+
+
+def test_top_ngram_plan_stays_native(spark):
+    df = spark.createDataFrame([("d", "x y")], "doc_id string, text string")
+    plan = (QR.top_ngram_metrics(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan

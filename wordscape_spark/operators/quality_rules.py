@@ -351,3 +351,124 @@ def line_dedup(
             ),
         )
     )
+
+
+# PII scrubbing (Dolma-style, Soldaini et al. 2024 §2.3): regex redaction
+# of emails / phone numbers / IPv4 addresses with |||TOKEN||| placeholders.
+# Patterns stay inside the regex subset Java (Spark) and RE2 (DuckDB)
+# interpret identically: character classes + bounded quantifiers + \b, no
+# lookaround, no backreferences.
+PII_PATTERNS = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+     "|||EMAIL|||"),
+    ("phone", "\\+1 \\(\\d{3}\\) \\d{3}-\\d{4}", "|||PHONE|||"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "|||IP|||"),
+)
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact PII spans in place and count them per type — pure per-row
+    ``regexp_replace``/``regexp_extract_all`` expressions: no shuffle, no
+    Python, whole-stage-codegen friendly at any scale.
+
+    Order matters: emails are scrubbed before IPv4 so a dotted-quad inside
+    a hostname-ish mailbox is consumed by the email pattern first (counts
+    are taken on the original text per type with the same precedence —
+    each counted from the text AFTER the earlier patterns were replaced,
+    so no span is double-counted).
+
+    Returns (doc_id, clean_text, n_emails, n_phones, n_ips)."""
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+    )
+    counts = []
+    cur = F.col("t")
+    for name, pat, token in PII_PATTERNS:
+        # python-API pattern literals: no SQL string-literal reparsing, so
+        # the backslashes reach Java exactly as written above
+        counts.append(
+            F.size(
+                F.regexp_extract_all(
+                    F.col(f"_scrub_{name}_src"), F.lit(pat), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias(f"n_{name}s")
+        )
+        out = out.withColumn(f"_scrub_{name}_src", cur)
+        cur = F.regexp_replace(F.col(f"_scrub_{name}_src"), pat, token)
+    return out.select(
+        "doc_id",
+        cur.alias("clean_text"),
+        *counts,
+    )
+
+
+def top_ngram_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    ns: tuple = (2, 3, 4),
+) -> DataFrame:
+    """Gopher repetition signals (Rae et al. 2021 §A1.1): for each n, the
+    fraction of normalized content characters contained in occurrences of
+    the MOST FREQUENT word n-gram — ``count(top gram) * len(top gram) /
+    len(content)``, where content is the lowercased whitespace words
+    joined by single spaces (the datatrove/Gopher formulation).  Ties on
+    count resolve to the larger character mass (deterministic in both
+    dialects, and the only thing the metric consumes IS the mass).
+
+    Entirely per-row: n-grams via ``transform``/``slice`` over the word
+    array, then a run-length scan over the SORTED gram array with a
+    4-field ``aggregate`` state (prev gram, current run, best count, best
+    mass) — no explode, no shuffle, O(g log g) per row.  Gopher's
+    dup-n-gram *coverage* family (n = 5..10, union of covered character
+    positions) is NOT implemented — coverage-union semantics need
+    per-position interval merging that has no clean dual-dialect
+    formulation; the top-gram family is the high-signal half."""
+    words = "filter(split(lower(t), '\\\\s+'), w -> w != '')"
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+        )
+        .withColumn("words", F.expr(words))
+        .withColumn(
+            "content_len", F.expr("length(concat_ws(' ', words))")
+        )
+    )
+    cols = ["doc_id"]
+    for n in ns:
+        run = "IF(x = a.prev, a.run + 1L, 1L)"
+        grams = (
+            f"CASE WHEN size(words) >= {n} THEN "
+            f"array_sort(transform(sequence(1, size(words) - {n} + 1), "
+            f"i -> concat_ws(' ', slice(words, i, {n})))) "
+            "ELSE CAST(array() AS ARRAY<STRING>) END"
+        )
+        best_mass = (
+            f"aggregate({grams}, "
+            "named_struct('prev', CAST('' AS STRING), 'run', 0L, "
+            "'bestcnt', 0L, 'bestmass', 0L), "
+            "(a, x) -> named_struct("
+            "'prev', x, "
+            f"'run', {run}, "
+            f"'bestcnt', greatest(a.bestcnt, {run}), "
+            f"'bestmass', CASE WHEN {run} > a.bestcnt "
+            f"  THEN {run} * length(x) "
+            f"WHEN {run} = a.bestcnt "
+            f"  THEN greatest(a.bestmass, {run} * length(x)) "
+            "ELSE a.bestmass END), "
+            "a -> a.bestmass)"
+        )
+        base = base.withColumn(
+            f"top_{n}gram_char_frac",
+            F.expr(
+                f"CASE WHEN content_len > 0 THEN "
+                f"round(CAST({best_mass} AS DOUBLE) / content_len, 6) "
+                "ELSE 0.0 END"
+            ),
+        )
+        cols.append(f"top_{n}gram_char_frac")
+    return base.select(*cols)

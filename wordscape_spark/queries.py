@@ -311,6 +311,41 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return QR.line_dedup(docs)
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style PII redaction (emails / phones / IPv4) with per-type
+    counts.  The synthetic documents text carries no PII, so both dialects
+    deterministically plant the same contact block on every 10th doc
+    before scrubbing — the oracle re-derives the augmentation AND the
+    redaction entirely in DuckDB (RE2 and Java interpret the pattern
+    subset identically: classes + bounded quantifiers + \\b only)."""
+    from wordscape_spark.operators import quality_rules as QR
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(
+            "CASE WHEN CAST(doc_id AS BIGINT) % 10 = 0 THEN concat(text,"
+            " ' Contact user', CAST(doc_id AS STRING), '@example.com or"
+            " +1 (555) 010-4242 at 10.0.',"
+            " CAST(CAST(doc_id AS BIGINT) % 256 AS STRING), '.7 today.')"
+            " ELSE text END"
+        ).alias("text"),
+    )
+    return QR.pii_scrub(docs)
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher top-n-gram repetition fractions (n = 2, 3, 4) over the
+    documents table — per-row native run-length scan; oracle re-derives
+    the same metric relationally (explode grams, count, pick max by
+    (count, mass))."""
+    from wordscape_spark.operators import quality_rules as QR
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return QR.top_ngram_metrics(docs)
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition + composition quality rules (Rae et al.
     2021 §A1.1; operators/quality_rules.py) — all native expressions.
@@ -1474,6 +1509,80 @@ def build_oracle_sql() -> dict[str, str]:
     FROM k WHERE len(kept) > 0
     """
 
+    # PII scrubbing — same planted augmentation, same pattern precedence
+    from wordscape_spark.operators.quality_rules import PII_PATTERNS
+
+    aug = """
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN text
+                  || ' Contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1 (555) 010-4242 at 10.0.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.7 today.'
+                  ELSE text END AS t
+      FROM documents
+    """
+    cur = "t"
+    count_exprs = []
+    for name, pat, token in PII_PATTERNS:
+        count_exprs.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT)"
+            f" AS n_{name}s"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
+    oracles["pii_scrub"] = f"""
+    WITH aug AS ({aug})
+    SELECT doc_id, {cur} AS clean_text, {', '.join(count_exprs)}
+    FROM aug
+    """
+
+    # Gopher top-n-gram repetition — relational re-derivation of the
+    # per-row run-length scan: explode grams, count, max by (count, mass)
+    ngram_ctes = []
+    ngram_cols = []
+    ngram_joins = []
+    for n in (2, 3, 4):
+        ngram_ctes.append(f"""
+    g{n} AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(words) - {n} + 1, 0) + 1),
+               i -> array_to_string(list_slice(words, i, i + {n} - 1), ' ')
+             )) AS gram
+      FROM meta
+    ),
+    c{n} AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt FROM g{n} GROUP BY doc_id, gram
+    ),
+    b{n} AS (
+      SELECT doc_id, cnt * length(gram) AS mass,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY cnt DESC, cnt * length(gram) DESC) AS rn
+      FROM c{n}
+    ),
+    s{n} AS (SELECT doc_id, mass FROM b{n} WHERE rn = 1)""")
+        ngram_cols.append(
+            f"round(CASE WHEN content_len > 0 THEN"
+            f" CAST(coalesce(s{n}.mass, 0) AS DOUBLE) / content_len"
+            f" ELSE 0.0 END, 6) AS top_{n}gram_char_frac"
+        )
+        ngram_joins.append(f"LEFT JOIN s{n} USING (doc_id)")
+    oracles["gopher_repetition"] = f"""
+    WITH base AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             list_filter(string_split_regex(lower(coalesce(text, '')),
+                                            '\\s+'),
+                         w -> w <> '') AS words
+      FROM documents
+    ),
+    meta AS (
+      SELECT doc_id, words,
+             length(array_to_string(words, ' ')) AS content_len
+      FROM base
+    ),{','.join(ngram_ctes)}
+    SELECT meta.doc_id, {', '.join(ngram_cols)}
+    FROM meta {' '.join(ngram_joins)}
+    """
+
     # Gopher quality rules — identical formulation, DuckDB dialect
     stopset = ", ".join(f"'{s}'" for s in
                         ("the", "be", "to", "of", "and", "that", "have",
@@ -2195,6 +2304,8 @@ QUERIES = {
     "doc_styled_ingest": q_doc_styled_ingest,
     "wat_doc_urls": q_wat_doc_urls,
     "line_dedup": q_line_dedup,
+    "pii_scrub": q_pii_scrub,
+    "gopher_repetition": q_gopher_repetition,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
