@@ -219,3 +219,76 @@ def test_top_ngram_plan_stays_native(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_line_dedup_fuzz_vs_python(spark):
+    """Differential test: Spark line_dedup == a direct pure-python
+    computation on a seeded 200-doc corpus with planted shared lines."""
+    import random
+
+    rng = random.Random(20260817)
+    pool = [f"shared line {i}" for i in range(12)]
+    docs = []
+    for d in range(200):
+        lines = [f"own {d} {j} {rng.randint(0, 9)}"
+                 for j in range(rng.randint(0, 5))]
+        for _ in range(rng.randint(0, 3)):
+            lines.insert(rng.randint(0, len(lines)), rng.choice(pool))
+        docs.append((str(d), "\n".join(lines)))
+
+    # pure-python reference
+    from collections import Counter
+    df_counts = Counter()
+    for _, text in docs:
+        seen = {l for l in text.split("\n") if l}
+        df_counts.update(seen)
+    dup = {l for l, c in df_counts.items() if c >= 2}
+    expected = {}
+    for doc_id, text in docs:
+        lines = [l for l in text.split("\n") if l]
+        kept = [l for l in lines if l not in dup]
+        if kept:
+            expected[doc_id] = ("\n".join(kept), len(kept),
+                                len(lines) - len(kept))
+
+    sdf = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines_kept"],
+                      r["n_lines_dropped"])
+        for r in QR.line_dedup(sdf).collect()
+    }
+    assert got == expected
+
+
+def test_top_ngram_fuzz_vs_python(spark):
+    """Differential test: the per-row run-length scan == a direct python
+    Counter over the same grams, including the (count, mass) tie rule."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(42)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    docs = [
+        (str(d),
+         " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for d in range(150)
+    ]
+
+    def py_frac(text, n):
+        words = [w for w in text.lower().split() if w]
+        content_len = len(" ".join(words))
+        if content_len == 0 or len(words) < n:
+            return 0.0
+        grams = [" ".join(words[i:i + n])
+                 for i in range(len(words) - n + 1)]
+        cnt = Counter(grams)
+        best = max(cnt.items(), key=lambda kv: (kv[1], kv[1] * len(kv[0])))
+        return round(best[1] * len(best[0]) / content_len, 6)
+
+    sdf = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in QR.top_ngram_metrics(sdf).collect()}
+    for doc_id, text in docs:
+        for n in (2, 3, 4):
+            assert got[doc_id][f"top_{n}gram_char_frac"] == py_frac(text, n), (
+                doc_id, n, text)

@@ -299,7 +299,10 @@ def line_dedup(
        map-side-combined aggregation over 32-byte keys);
     3. duplicated hashes semi-join back onto the SAME (doc_id, h) pairs
        and regroup to a per-doc drop list — only the duplicated lines'
-       hashes shuffle, a small fraction of the corpus by construction;
+       hashes shuffle, a small fraction of the corpus by construction.
+       A mega-hot boilerplate line (one h in millions of docs) skews this
+       join's probe side; the session enables AQE skew-join splitting,
+       and the subsequent groupBy is keyed by doc_id, which is uniform;
     4. the rewrite is a per-row ``filter`` over the original lines array
        against the broadcast-joinable per-doc drop list (left join keyed
        by doc_id; text stays in place).
