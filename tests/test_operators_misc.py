@@ -227,3 +227,38 @@ def test_jaccard_hot_shingle_cap(spark):
         assert v <= exact[k] + 1e-9
     # (a, b) are true near-duplicates through non-hot shingles: still found
     assert ("a", "b") in capped
+
+
+def test_shard_pack_first_fit(spark):
+    from wordscape_spark.operators import shaping as S
+
+    # one stream so the packing order is fully hand-checkable
+    rows = [(f"d{i}", 40) for i in range(10)]  # 10 docs x 40 tokens
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+    out = {r["doc_id"]: r["shard_id"]
+           for r in S.shard_pack(df, shard_tokens=100, n_streams=1).collect()}
+    # cum before each doc: 0,40,80,120,... -> shard floor(cum/100):
+    # d0:0 d1:0 d2:0 (starts at 80 -> shard 0, overflows into 120) d3:1 ...
+    assert out["d0"] == "0-0" and out["d2"] == "0-0"
+    assert out["d3"] == "0-1" and out["d4"] == "0-1"
+    # every shard's doc count is 2 or 3 (first-fit on uniform 40s)
+    from collections import Counter
+    sizes = Counter(out.values())
+    assert set(sizes.values()) <= {2, 3}
+
+
+def test_shard_pack_stream_stability(spark):
+    """Stream assignment is a pure function of doc_id: repartitioning the
+    input must not move any document to a different shard."""
+    from wordscape_spark.operators import shaping as S
+
+    rows = [(f"doc-{i:04d}", (i * 7) % 90 + 10) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+    a = {r["doc_id"]: r["shard_id"]
+         for r in S.shard_pack(df).collect()}
+    b = {r["doc_id"]: r["shard_id"]
+         for r in S.shard_pack(df.repartition(13)).collect()}
+    assert a == b
+    # streams actually spread (not all docs in one sort partition)
+    streams = {s.split("-")[0] for s in a.values()}
+    assert len(streams) > 10

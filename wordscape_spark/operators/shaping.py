@@ -91,3 +91,58 @@ def stratified_sample(
         for k, p in pct_per_kind.items()
     ) + " ELSE TRUE END"
     return spans.filter(F.expr(expr))
+
+
+def shard_pack(
+    df: DataFrame,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    shard_tokens: int = 50_000,
+    n_streams: int = 32,
+) -> DataFrame:
+    """Pack documents into pretraining shards of ~``shard_tokens`` tokens
+    each — the tar-shard creation step of the reference's pretrain
+    extension (formatter.py:131-180 samples into tar shards), as a
+    deterministic first-fit-streaming assignment: a document belongs to
+    the shard its first token falls in, in a stable document order.
+
+    Scale shape: a single global ordered cumulative sum is a
+    one-partition sort — the classic Spark window trap.  Documents
+    instead hash into ``n_streams`` independent streams (md5-based, so
+    retry/partitioning-stable AND oracle-mirrorable), and the running
+    token count is a window per stream: ``n_streams`` ≫ executor count
+    keeps every sort local and bounded at any corpus size.  Shards may
+    overflow by at most one document (first-fit semantics — standard for
+    tar shards; a shard boundary never splits a document).
+
+    Returns (doc_id, n_tokens, shard_id) with shard_id =
+    '<stream>-<local shard index>'."""
+    from pyspark.sql.window import Window
+
+    stream = F.expr(
+        f"pmod(CAST(conv(substr(md5(CAST({id_col} AS STRING)), 1, 8),"
+        f" 16, 10) AS BIGINT), {n_streams})"
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(tokens_col).cast("long").alias("n_tokens"),
+        )
+        .withColumn("stream", stream)
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.concat_ws(
+                "-",
+                F.col("stream"),
+                F.floor((F.col("cum") - F.col("n_tokens"))
+                        / F.lit(shard_tokens)).cast("string"),
+            ).alias("shard_id"),
+        )
+    )

@@ -346,6 +346,22 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return QR.top_ngram_metrics(docs)
 
 
+def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget shard packing (the pretrain tar-shard
+    analog): md5-bucketed streams, per-stream running token count, a doc
+    belongs to the shard its first token falls in.  Oracle: identical
+    window formulation in DuckDB (md5-prefix stream parity proven by the
+    fingerprint oracles)."""
+    from wordscape_spark.operators import shaping as S
+
+    exprs = T.token_exprs("text", "spark")
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(exprs["tokens_ws"]).alias("n_tokens"),
+    )
+    return S.shard_pack(docs, shard_tokens=2000, n_streams=8)
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition + composition quality rules (Rae et al.
     2021 §A1.1; operators/quality_rules.py) — all native expressions.
@@ -1583,6 +1599,31 @@ def build_oracle_sql() -> dict[str, str]:
     FROM meta {' '.join(ngram_joins)}
     """
 
+    # shard packing — identical md5-stream + window formulation
+    ws_duck = T.token_exprs("text", "duckdb")["tokens_ws"]
+    oracles["shard_pack"] = f"""
+    WITH toks AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, {ws_duck} AS n_tokens
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, n_tokens,
+             (('0x' || substr(md5(doc_id), 1, 8))::BIGINT % 8) AS stream
+      FROM toks
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens, stream,
+             SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM st
+    )
+    SELECT doc_id, n_tokens,
+           CAST(stream AS VARCHAR) || '-' ||
+           CAST(CAST(floor((cum - n_tokens) / 2000) AS BIGINT) AS VARCHAR)
+             AS shard_id
+    FROM cum
+    """
+
     # Gopher quality rules — identical formulation, DuckDB dialect
     stopset = ", ".join(f"'{s}'" for s in
                         ("the", "be", "to", "of", "and", "that", "have",
@@ -2306,6 +2347,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "pii_scrub": q_pii_scrub,
     "gopher_repetition": q_gopher_repetition,
+    "shard_pack": q_shard_pack,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
