@@ -262,3 +262,17 @@ def test_shard_pack_stream_stability(spark):
     # streams actually spread (not all docs in one sort partition)
     streams = {s.split("-")[0] for s in a.values()}
     assert len(streams) > 10
+
+
+def test_shard_pack_plan_never_single_partition(spark):
+    """The scale claim: the running-sum window partitions by the md5
+    stream — a global-ordered window would show Exchange SinglePartition
+    (every row through one sort task)."""
+    from wordscape_spark.operators import shaping as S
+
+    df = spark.createDataFrame(
+        [("d1", 10), ("d2", 20)], "doc_id string, n_tokens long"
+    )
+    plan = S.shard_pack(df)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(stream" in plan
