@@ -292,3 +292,36 @@ def test_top_ngram_fuzz_vs_python(spark):
         for n in (2, 3, 4):
             assert got[doc_id][f"top_{n}gram_char_frac"] == py_frac(text, n), (
                 doc_id, n, text)
+
+
+def test_dup_ngram_coverage_hand_values(spark):
+    rows = [
+        # (a b c d e) repeats at word 0 and 5 -> two 9-char spans out of
+        # the 21-char content; no 6-gram repeats
+        ("rep5", "a b c d e a b c d e x"),
+        # overlapping occurrences of (a a a a a) at 0 and 1 union to
+        # words 0-5 = 11 chars of 13
+        ("overlap", "a a a a a a b"),
+        ("short", "tiny doc"),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in QR.dup_ngram_coverage(df).collect()}
+    r5 = out["rep5"]
+    assert r5["dup_5gram_char_frac"] == round(18 / 21, 6)
+    assert r5["dup_6gram_char_frac"] == 0.0
+    assert r5["dup_10gram_char_frac"] == 0.0
+    ov = out["overlap"]
+    assert ov["dup_5gram_char_frac"] == round(11 / 13, 6)
+    assert ov["dup_6gram_char_frac"] == 0.0
+    for d in ("short", "null"):
+        for n in (5, 10):
+            assert out[d][f"dup_{n}gram_char_frac"] == 0.0
+
+
+def test_dup_ngram_coverage_no_shuffle(spark):
+    df = spark.createDataFrame([("d", "x y")], "doc_id string, text string")
+    plan = (QR.dup_ngram_coverage(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan  # document-local: mapInPandas only

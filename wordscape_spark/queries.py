@@ -362,6 +362,27 @@ def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.shard_pack(docs, shard_tokens=2000, n_streams=8)
 
 
+def q_gopher_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher dup-n-gram coverage fractions (n = 5..10, union of covered
+    character spans).  Both dialects plant within-document repetition on
+    every 5th doc (text || ' ' || its own first 90 chars) so every n has
+    signal; the oracle re-derives the union RELATIONALLY (grams with
+    positions → duplicated grams → char-span join → DISTINCT covered
+    positions) — a fully independent algorithm from the byte-mask union
+    in the mapInPandas operator."""
+    from wordscape_spark.operators import quality_rules as QR
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(
+            "CASE WHEN CAST(doc_id AS BIGINT) % 5 = 0"
+            " THEN concat(text, ' ', substring(text, 1, 90))"
+            " ELSE text END"
+        ).alias("text"),
+    )
+    return QR.dup_ngram_coverage(docs)
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition + composition quality rules (Rae et al.
     2021 §A1.1; operators/quality_rules.py) — all native expressions.
@@ -1624,6 +1645,76 @@ def build_oracle_sql() -> dict[str, str]:
     FROM cum
     """
 
+    # Gopher dup-n-gram coverage — INDEPENDENT relational re-derivation
+    # (the Spark op uses a per-doc byte-mask union in mapInPandas)
+    from wordscape_spark.operators.quality_rules import DUP_NGRAM_NS
+
+    dup_ctes = []
+    dup_cols = []
+    dup_joins = []
+    for n in DUP_NGRAM_NS:
+        dup_ctes.append(f"""
+    g{n} AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(words, i, i + {n} - 1), ' ') AS gram
+      FROM meta,
+           unnest(range(1, greatest(len(words) - {n} + 1, 0) + 1)) AS t(i)
+    ),
+    d{n} AS (
+      SELECT doc_id, gram FROM g{n}
+      GROUP BY doc_id, gram HAVING COUNT(*) >= 2
+    ),
+    span{n} AS (
+      SELECT g.doc_id, i1.off AS a, i2.off + i2.wlen AS b
+      FROM g{n} g
+      JOIN d{n} d USING (doc_id, gram)
+      JOIN idx i1 ON i1.doc_id = g.doc_id AND i1.i = g.pos
+      JOIN idx i2 ON i2.doc_id = g.doc_id AND i2.i = g.pos + {n} - 1
+    ),
+    cov{n} AS (
+      SELECT DISTINCT doc_id, p FROM span{n}, unnest(range(a, b)) AS t(p)
+    ),
+    f{n} AS (SELECT doc_id, COUNT(*) AS ncov FROM cov{n} GROUP BY doc_id)""")
+        dup_cols.append(
+            f"round(CASE WHEN content_len > 0 THEN"
+            f" CAST(coalesce(f{n}.ncov, 0) AS DOUBLE) / content_len"
+            f" ELSE 0.0 END, 6) AS dup_{n}gram_char_frac"
+        )
+        dup_joins.append(f"LEFT JOIN f{n} USING (doc_id)")
+    oracles["gopher_dup_ngrams"] = f"""
+    WITH aug AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' ' || substr(text, 1, 90)
+                  ELSE text END AS text
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(coalesce(text, '')),
+                                            '\\s+'),
+                         w -> w <> '') AS words
+      FROM aug
+    ),
+    meta AS (
+      SELECT doc_id, words,
+             length(array_to_string(words, ' ')) AS content_len
+      FROM base
+    ),
+    idx AS (
+      -- list_slice(words, 1, 0) is NULL in DuckDB, so off(1) needs the
+      -- explicit 0 branch
+      SELECT doc_id, i,
+             CASE WHEN i = 1 THEN 0
+                  ELSE length(array_to_string(list_slice(words, 1, i - 1),
+                                              ' ')) + 1 END AS off,
+             length(words[i]) AS wlen
+      FROM meta, unnest(range(1, len(words) + 1)) AS t(i)
+    ),{','.join(dup_ctes)}
+    SELECT meta.doc_id, {', '.join(dup_cols)}
+    FROM meta {' '.join(dup_joins)}
+    """
+
     # Gopher quality rules — identical formulation, DuckDB dialect
     stopset = ", ".join(f"'{s}'" for s in
                         ("the", "be", "to", "of", "and", "that", "have",
@@ -2348,6 +2439,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "gopher_repetition": q_gopher_repetition,
     "shard_pack": q_shard_pack,
+    "gopher_dup_ngrams": q_gopher_dup_ngrams,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
