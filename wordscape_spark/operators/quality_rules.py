@@ -2,13 +2,16 @@
 filters for large-scale training-data curation.
 
 Public provenance: the rule battery follows Rae et al. 2021 ("Scaling
-Language Models: ... Gopher", §A1.1 quality filtering) and Raffel et al.
-2020 (C4 cleaning heuristics).  It complements the reference's whitelist
-gates (E7/E8 — quality-score/perplexity percentiles per language) with the
-content-shape rules a 100 TB curation run applies FIRST, because they are
-pure column expressions: every metric below is native Spark SQL (zero
-Python), stays inside whole-stage codegen, and is expressible identically
-in the DuckDB oracle dialect.
+Language Models: ... Gopher", §A1.1 quality filtering), Raffel et al.
+2020 (C4 cleaning heuristics), CCNet/RefinedWeb (corpus-level line
+dedup) and Dolma (PII scrubbing).  It complements the reference's
+whitelist gates (E7/E8 — quality-score/perplexity percentiles per
+language) with the content-shape rules a 100 TB curation run applies
+FIRST.  Every metric is a native Spark SQL expression inside whole-stage
+codegen with an identical DuckDB-dialect formulation — except
+``dup_ngram_coverage``, whose interval-union semantics run on the
+vectorized ``mapInPandas`` path with an independently-derived relational
+oracle.
 
 Metrics (per document, over whitespace words and newline lines):
 
