@@ -28,3 +28,43 @@ def test_spark_matches_python(spark):
         assert r["top_lang"] == max(
             expected.items(), key=lambda kv: (kv[1], kv[0])
         )[0]
+
+
+def test_train_then_serve_roundtrip(spark):
+    """Distributed training feeds the serving seam: fit the trigram table
+    on a cleanly-labeled corpus (one doc per vocabulary language), build
+    a classify_with_tables model from the collected counts, and the
+    model must identify each language from held-out samples of its own
+    vocabulary.  (The synthetic documents table mixes languages within a
+    document, so it tests the machinery poorly — label quality is the
+    stopword scorer's concern, q `langid`.)"""
+    from wordscape_spark import models
+    from wordscape_spark.datagen import VOCAB
+
+    rows = [
+        (lang_name, " ".join(words * 3))
+        for lang_name, words in VOCAB.items()
+    ]
+    df = spark.createDataFrame(rows, "top_lang string, text string")
+    counts = L.train_trigram_counts(df, k=256).collect()
+    assert all(r["rank"] <= 256 for r in counts)
+    tables = models.tables_from_counts(counts)
+    assert set(tables) == set(VOCAB)
+    for lang_name, words in VOCAB.items():
+        sample = " ".join(words[:12])
+        got = L.classify_with_tables(sample, tables, 1)
+        assert got == {f"__label__{lang_name}": max(got.values())}, (
+            lang_name, got)
+
+
+def test_train_trigram_deterministic_ties(spark):
+    rows = [("xx", "ab ab cd cd")]  # "ab " and "cd " families tie
+    df = spark.createDataFrame(rows, "top_lang string, text string")
+    a = L.train_trigram_counts(df, k=5).collect()
+    b = L.train_trigram_counts(df.repartition(7), k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # ties on n resolve by trigram ascending
+    ranked = sorted(a, key=lambda r: r["rank"])
+    for i in range(len(ranked) - 1):
+        assert (ranked[i]["n"], ranked[i + 1]["trigram"]) >= (
+            ranked[i + 1]["n"], ranked[i]["trigram"])

@@ -192,3 +192,26 @@ def file_trigram_classifier(path: str | None = None, top_k: int | None = None):
     if top_k is None:
         top_k = DEFAULT_CONFIG.top_k_languages
     return functools.partial(_file_trigram_classify, path=path, top_k=top_k)
+
+
+def tables_from_counts(rows) -> dict[str, dict[str, float]]:
+    """Turn the collected output of
+    ``langid_trigram.train_trigram_counts`` (rows with lang / trigram /
+    n) into the ``classify_with_tables`` log-prob table, with the same
+    add-one smoothing as the import-time model — the train → serve
+    bridge: fit the table distributedly, collect the (bounded,
+    k-per-language) counts, classify with it through the existing
+    ``with_trigram_langid(model=...)`` seam."""
+    per: dict[str, dict[str, int]] = {}
+    for r in rows:
+        per.setdefault(r["lang"], {})[r["trigram"]] = int(r["n"])
+    tables: dict[str, dict[str, float]] = {}
+    for lang, grams in per.items():
+        total = sum(grams.values())
+        v = len(grams) + 1
+        t = {
+            g: math.log10((c + 1) / (total + v)) for g, c in grams.items()
+        }
+        t["__default__"] = math.log10(1 / (total + v))
+        tables[lang] = t
+    return tables

@@ -144,3 +144,57 @@ def with_trigram_langid(
         .withColumn("top_lang_score", F.col("_lid.top_lang_score"))
         .drop("_lid")
     )
+
+
+def train_trigram_counts(
+    df: DataFrame,
+    lang_col: str = "top_lang",
+    text_col: str = "text",
+    k: int = 64,
+) -> DataFrame:
+    """Distributed TRAINING of the trigram table the classifier serves:
+    per language label, the top-``k`` character trigrams of the
+    normalized text by corpus frequency — the artifact behind
+    ``models.save_trigram_model`` / ``file_trigram_classifier``, derived
+    from the corpus itself instead of the import-time vocabularies.
+
+    Output (lang, trigram, n, rank) with the deterministic tie order
+    (count DESC, trigram ASC); integer counts so the oracle compares
+    exactly.  ``models.tables_from_counts`` turns the collected rows into
+    the ``classify_with_tables`` log-prob table — train → serve with no
+    format gap.
+
+    Scale shape: the gram explode never shuffles raw rows — Spark's
+    partial aggregation collapses (lang, gram) pairs map-side before the
+    exchange, so the shuffle carries at most |langs| x |charset|^3
+    distinct keys per partition; the top-k window partitions by lang
+    over those bounded aggregates."""
+    from wordscape_spark.operators.text import normalize_expr
+    from pyspark.sql.window import Window
+
+    norm = normalize_expr(text_col, "spark")
+    grams = (
+        df.select(
+            F.col(lang_col).alias("lang"),
+            F.expr(f"concat(' ', {norm}, ' ')").alias("t"),
+        )
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(t) - 2, 0)),"
+                    " i -> substring(t, i, 3))"
+                )
+            ).alias("trigram"),
+        )
+        .groupBy("lang", "trigram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n").desc(), F.col("trigram").asc()
+    )
+    return (
+        grams.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lang", "trigram", F.col("n").cast("long"), "rank")
+    )

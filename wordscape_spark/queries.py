@@ -383,6 +383,18 @@ def q_gopher_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return QR.dup_ngram_coverage(docs)
 
 
+def q_langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed trigram-table TRAINING: label docs with the stopword
+    scorer's top_lang, count normalized-text trigrams per language, keep
+    the deterministic top-16 — integer counts, so the oracle compares
+    exactly.  models.tables_from_counts turns the collected rows into a
+    servable classify_with_tables model (round-trip pinned in pytest)."""
+    from wordscape_spark.operators import langid_trigram as LT
+
+    labeled = T.with_langid(_docs(spark, sf_dir)).select("top_lang", "text")
+    return LT.train_trigram_counts(labeled, k=16)
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition + composition quality rules (Rae et al.
     2021 §A1.1; operators/quality_rules.py) — all native expressions.
@@ -1715,6 +1727,36 @@ def build_oracle_sql() -> dict[str, str]:
     FROM meta {' '.join(dup_joins)}
     """
 
+    # trigram-table training — identical normalization + top-k window
+    _score_cols = ", ".join(
+        f"{lang[f'score_{x}']} AS score_{x}" for x in T.LANGS
+    )
+    oracles["langid_train"] = f"""
+    WITH scored AS (
+      SELECT {_score_cols},
+             ' ' || {T.normalize_expr('text', 'duckdb')} || ' ' AS t
+      FROM documents
+    ),
+    labeled AS (
+      SELECT {lang['top_lang']} AS lang, t FROM scored
+    ),
+    grams AS (
+      SELECT lang, unnest(list_transform(
+               range(1, greatest(length(t) - 2, 0) + 1),
+               i -> substr(t, i, 3))) AS trigram
+      FROM labeled
+    ),
+    counts AS (
+      SELECT lang, trigram, CAST(COUNT(*) AS BIGINT) AS n
+      FROM grams GROUP BY lang, trigram
+    )
+    SELECT lang, trigram, n,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY n DESC, trigram ASC) AS INT) AS rank
+    FROM counts
+    QUALIFY rank <= 16
+    """
+
     # Gopher quality rules — identical formulation, DuckDB dialect
     stopset = ", ".join(f"'{s}'" for s in
                         ("the", "be", "to", "of", "and", "that", "have",
@@ -2440,6 +2482,7 @@ QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "shard_pack": q_shard_pack,
     "gopher_dup_ngrams": q_gopher_dup_ngrams,
+    "langid_train": q_langid_train,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
