@@ -68,3 +68,18 @@ def test_train_trigram_deterministic_ties(spark):
     for i in range(len(ranked) - 1):
         assert (ranked[i]["n"], ranked[i + 1]["trigram"]) >= (
             ranked[i + 1]["n"], ranked[i]["trigram"])
+
+
+def test_train_trigram_empty_text_emits_no_grams(spark):
+    """Spark's sequence(1, 0) is the DESCENDING [1, 0] — ungated, an
+    empty-normalized doc (length 2 after padding) emitted two bogus '  '
+    trigrams the oracle's empty range(1,1) never saw (ADVICE r5)."""
+    rows = [("xx", ""), ("xx", "   "), ("xx", "\x01\x02")]
+    df = spark.createDataFrame(rows, "top_lang string, text string")
+    assert L.train_trigram_counts(df, k=8).collect() == []
+    # and mixed with real text, only the real doc contributes
+    df2 = spark.createDataFrame(
+        rows + [("xx", "abc")], "top_lang string, text string"
+    )
+    grams = {r["trigram"] for r in L.train_trigram_counts(df2, k=8).collect()}
+    assert grams == {" ab", "abc", "bc "}

@@ -276,3 +276,70 @@ def test_shard_pack_plan_never_single_partition(spark):
     plan = S.shard_pack(df)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert "hashpartitioning(stream" in plan
+
+
+def test_shard_pack_custom_id_col(spark):
+    """ADVICE r5: stream expr + window referenced the pre-rename id_col —
+    any id_col != 'doc_id' raised UNRESOLVED_COLUMN."""
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 20)], "my_id string, toks long"
+    )
+    out = SH.shard_pack(
+        df, tokens_col="toks", id_col="my_id", shard_tokens=100, n_streams=2
+    ).collect()
+    assert {r["doc_id"] for r in out} == {"a", "b"}
+    # same assignment as the default-named input (pure function of the id)
+    df2 = spark.createDataFrame(
+        [("a", 10), ("b", 20)], "doc_id string, n_tokens long"
+    )
+    ref = SH.shard_pack(df2, shard_tokens=100, n_streams=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, ref))
+
+
+def test_shard_pack_derived_streams():
+    """n_streams derives from corpus size (the semantic_nlist pattern):
+    floor keeps small corpora spread; big corpora add streams so each
+    local sort stays ~SHARD_STREAM_TARGET docs."""
+    assert SH.shard_pack_streams(300) == SH.SHARD_STREAM_FLOOR
+    assert SH.shard_pack_streams(10**6) == SH.SHARD_STREAM_FLOOR
+    big = SH.shard_pack_streams(10**9)
+    assert big * SH.SHARD_STREAM_TARGET >= 10**9
+    assert (big - 1) * SH.SHARD_STREAM_TARGET < 10**9
+
+
+def test_token_budget_streams(spark):
+    """Stream-decomposed token budget: per-stream budget bound holds, the
+    window never sorts a whole language in one partition, and n_streams=1
+    recovers the exact global-order prefix."""
+    rows = [(f"d{i:03d}", "en" if i % 3 else "de", 100) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, tokens long")
+
+    # n_streams=1: exact old semantics — first budget//tokens docs per lang
+    exact = SH.token_budget_sample(df, 1000, n_streams=1).collect()
+    per_lang = {}
+    for r in exact:
+        per_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert all(len(v) == 10 for v in per_lang.values())
+    assert per_lang["de"] == sorted(per_lang["de"])[:10]
+
+    # n_streams=4: total tokens per lang never exceed the budget, and the
+    # selection is repartition-stable
+    out = SH.token_budget_sample(df, 1000, n_streams=4)
+    tot = {r["lang"]: r["t"] for r in
+           out.groupBy("lang").agg(F.sum("tokens").alias("t")).collect()}
+    assert all(t <= 1000 for t in tot.values())
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in SH.token_budget_sample(
+            df.repartition(13), 1000, n_streams=4
+        ).collect()
+    )
+    assert a == b
+
+    plan = (
+        SH.token_budget_sample(df, 1000, n_streams=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(lang" in plan and "_tb_stream" in plan

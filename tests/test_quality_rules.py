@@ -65,6 +65,35 @@ def test_plan_is_native(spark):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
 
 
+def test_gopher_plan_zero_exchange(spark):
+    """The r6 scale claim: the ENTIRE rule battery — dup-line metrics
+    included — is one per-row projection.  The pre-r6 dup_line path
+    exploded lines and re-aggregated twice, shuffling every distinct
+    line's text for a document-local fraction."""
+    df = spark.createDataFrame(
+        [("d", "a line\nb line\na line")], "doc_id string, text string"
+    )
+    for q in (QR.gopher_quality(df), QR.dup_line_metrics(df)):
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_dup_line_metrics_row_per_doc(spark):
+    """In-row contract: one output row per input doc; line-less docs get
+    0.0 (the value the old no-row + left-join-fillna path produced)."""
+    df = spark.createDataFrame(
+        [("r", "x\nx\ny"), ("empty", ""), ("null", None)],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in QR.dup_line_metrics(df).collect()}
+    assert set(out) == {"r", "empty", "null"}
+    assert out["r"]["dup_line_frac"] == round(2 / 3, 6)
+    assert out["r"]["dup_line_char_frac"] == round(2 / 3, 6)
+    assert out["empty"]["dup_line_frac"] == 0.0
+    assert out["null"]["dup_line_char_frac"] == 0.0
+
+
 def test_c4_clean_hand_values(spark):
     rows = [
         ("1", "A good sentence stays here.\nshort one\n"

@@ -60,6 +60,13 @@ def winnow_fingerprints(
     ``pos`` is the 1-based position of the selected k-gram in the
     normalized text (lowercased, non-alphanumerics removed — the standard
     MOSS normalization so whitespace/punctuation edits don't shift grams).
+
+    Precondition: ``id_col`` is unique per input row.  The in-row rewrite
+    dedups picks per ROW (``array_distinct`` — zero Exchange); a corpus
+    with duplicate doc_id rows (e.g. a union of sources) yields duplicated
+    (doc_id, pos, fp) rows where the pre-r5 global ``.distinct()`` would
+    have collapsed them.  Dedup doc_ids upstream if the input may repeat
+    them (``fingerprint_matches`` applies its own distinct either way).
     """
     norm = F.substring(
         F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""),

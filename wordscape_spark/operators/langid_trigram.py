@@ -181,9 +181,15 @@ def train_trigram_counts(
         .select(
             "lang",
             F.explode(
+                # Guard: Spark's sequence(1, 0) is the DESCENDING [1, 0]
+                # (inclusive semantics), so an empty normalized text
+                # (length(t)=2 after padding) would emit two bogus '  '
+                # trigrams that the oracle's empty range(1,1) never sees.
                 F.expr(
-                    "transform(sequence(1, greatest(length(t) - 2, 0)),"
+                    "CASE WHEN length(t) >= 3 THEN"
+                    " transform(sequence(1, length(t) - 2),"
                     " i -> substring(t, i, 3))"
+                    " ELSE CAST(array() AS ARRAY<STRING>) END"
                 )
             ).alias("trigram"),
         )

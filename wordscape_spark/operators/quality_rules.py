@@ -31,11 +31,14 @@ Metrics (per document, over whitespace words and newline lines):
 * ``gopher_pass`` — the conjunction, with the word-count band widened to
   the synthetic corpus (min_words configurable).
 
-Scale notes: all but the dup-line metrics are per-row expressions (no
-shuffle).  The dup-line metrics explode lines and re-aggregate per
-(doc_id, line) then per doc_id — two partial-aggregated shuffles keyed by
-doc_id, the same shape as any per-doc groupBy, no skew beyond document
-size (bounded by the length cap upstream).
+Scale notes: EVERY metric — including the dup-line pair — is a per-row
+expression: the dup-line counts are a run-length scan over the sorted
+lines array (the same 4-field ``aggregate`` state machine as
+``top_ngram_metrics``), so the whole Gopher battery runs with zero
+Exchange.  The pre-r6 formulation exploded lines and re-aggregated per
+(doc_id, line) — a shuffle that carried every distinct line's full text
+to compute a document-local fraction; pinned out by
+tests/test_quality_rules.py::test_gopher_plan_zero_exchange.
 """
 
 from __future__ import annotations
@@ -66,10 +69,35 @@ def _count_occurrences(col: str, needle: str) -> F.Column:
     ).cast("long")
 
 
+def _dup_line_stats(lines_col: str) -> str:
+    """SQL expr: struct(dcnt, dchars, chars) over a non-empty-lines array —
+    duplicate-line count / char mass / total char mass via one run-length
+    scan over the SORTED array (the ``top_ngram_metrics`` state-machine
+    shape): when a line's run reaches 2 both members of the new duplicate
+    group count, past 2 each further repeat counts once.  O(L log L) per
+    row, zero Exchange — the corpus' line text never leaves its row."""
+    run = "IF(x = a.prev, a.run + 1L, 1L)"
+    return (
+        f"aggregate(array_sort({lines_col}), "
+        "named_struct('prev', CAST('' AS STRING), 'run', 0L, "
+        "'dcnt', 0L, 'dchars', 0L, 'chars', 0L), "
+        "(a, x) -> named_struct("
+        "'prev', x, "
+        f"'run', {run}, "
+        f"'dcnt', a.dcnt + CASE WHEN {run} = 2L THEN 2L "
+        f"WHEN {run} > 2L THEN 1L ELSE 0L END, "
+        f"'dchars', a.dchars + CASE WHEN {run} = 2L THEN 2L * length(x) "
+        f"WHEN {run} > 2L THEN CAST(length(x) AS BIGINT) ELSE 0L END, "
+        "'chars', a.chars + length(x)), "
+        "a -> named_struct('dcnt', a.dcnt, 'dchars', a.dchars, "
+        "'chars', a.chars))"
+    )
+
+
 def word_metrics(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-row word/line composition metrics (no shuffle)."""
+    """Per-row word/line composition + dup-line metrics (no shuffle)."""
     words = F.expr("filter(split(lower(t), '\\\\s+'), w -> w != '')")
     lines = F.expr("filter(split(t, '\\n'), l -> l != '')")
     out = (
@@ -161,7 +189,24 @@ def word_metrics(
                 6,
             ),
         )
-        .drop("words", "lines", "t")
+        .withColumn("_dl", F.expr(_dup_line_stats("lines")))
+        .withColumn(
+            "dup_line_frac",
+            F.expr(
+                "CASE WHEN n_lines > 0 THEN"
+                " round(CAST(_dl.dcnt AS DOUBLE) / n_lines, 6)"
+                " ELSE 0.0 END"
+            ),
+        )
+        .withColumn(
+            "dup_line_char_frac",
+            F.expr(
+                "CASE WHEN _dl.chars > 0 THEN"
+                " round(CAST(_dl.dchars AS DOUBLE) / _dl.chars, 6)"
+                " ELSE 0.0 END"
+            ),
+        )
+        .drop("words", "lines", "t", "_dl")
     )
     return out
 
@@ -170,40 +215,14 @@ def dup_line_metrics(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(doc_id, dup_line_frac, dup_line_char_frac) — document-local exact
-    line repetition, by line count and by character mass."""
-    lines = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            # explode_outer + isNotNull (an attribute filter) instead of
-            # explode: InferFiltersFromGenerate would otherwise inline the
-            # split+filter expression into pushed-down size/isnotnull
-            # predicates, re-splitting each document's text 3x
-            F.explode_outer(
-                F.expr(
-                    f"filter(split(coalesce({text_col}, ''), '\\n'),"
-                    " l -> l != '')"
-                )
-            ).alias("line"),
-        )
-        .filter(F.col("line").isNotNull())  # line-less docs, as inner explode
-        .groupBy("doc_id", "line")
-        .agg(F.count("*").alias("cnt"))
-    )
-    return lines.groupBy("doc_id").agg(
-        F.round(
-            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
-            / F.sum("cnt"),
-            6,
-        ).alias("dup_line_frac"),
-        F.round(
-            F.sum(
-                F.when(
-                    F.col("cnt") > 1, F.col("cnt") * F.length("line")
-                ).otherwise(0)
-            )
-            / F.sum(F.col("cnt") * F.length("line")),
-            6,
-        ).alias("dup_line_char_frac"),
+    line repetition, by line count and by character mass.
+
+    In-row since r6 (``_dup_line_stats``): Catalyst prunes the unused
+    word-metric columns, so this is one projection over the lines array —
+    zero Exchange, one row per input doc (line-less docs get 0.0, the
+    value the old no-row + left-join-fillna path produced downstream)."""
+    return word_metrics(df, text_col=text_col, id_col=id_col).select(
+        "doc_id", "dup_line_frac", "dup_line_char_frac"
     )
 
 
@@ -258,13 +277,11 @@ def gopher_quality(
 ) -> DataFrame:
     """All metrics + the conjunctive ``gopher_pass`` flag.
 
-    One broadcast-free equi-join on doc_id between the per-row metrics and
-    the dup-line aggregate (both sides partial-aggregated)."""
-    wm = word_metrics(df, text_col=text_col, id_col=id_col)
-    dl = dup_line_metrics(df, text_col=text_col, id_col=id_col)
-    out = wm.join(dl, "doc_id", "left").fillna(
-        {"dup_line_frac": 0.0, "dup_line_char_frac": 0.0}
-    )
+    Fully per-row: every metric (including the dup-line pair) is computed
+    in one projection over the document's own word/line arrays — zero
+    Exchange in the physical plan (pinned by
+    test_gopher_plan_zero_exchange)."""
+    out = word_metrics(df, text_col=text_col, id_col=id_col)
     return out.withColumn(
         "gopher_pass",
         (F.col("n_words") >= min_words)

@@ -55,29 +55,62 @@ def deterministic_sample(
     return df.filter(F.expr(f"{_bucket_expr(id_col, 'spark')} < {pct}"))
 
 
+def stream_expr(col: str, n_streams: int, dialect: str) -> str:
+    """Deterministic 0..n_streams-1 stream id from an id column (md5 prefix,
+    stable under retries/repartitioning, mirrorable in DuckDB)."""
+    if dialect == "spark":
+        return (
+            f"pmod(CAST(conv(substr(md5(CAST({col} AS STRING)), 1, 8),"
+            f" 16, 10) AS BIGINT), {n_streams})"
+        )
+    return (
+        f"((('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8))::BIGINT)"
+        f" % {n_streams})"
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     budget_per_lang: int,
     lang_col: str = "lang",
     tokens_col: str = "tokens",
     order_col: str = "doc_id",
+    n_streams: int = 32,
 ) -> DataFrame:
-    """Select documents per language until a token budget is filled
-    (cumulative-sum window in deterministic ``order_col`` order) — the
+    """Select documents per language until a token budget is filled — the
     training-data "N tokens per language" shaping op.
 
-    One shuffle on the language key; languages are few and large, and the
-    window only carries (lang, order, tokens)."""
+    Scale shape: a per-language global cumulative-sum window is ONE sort
+    partition per language — at corpus scale the dominant language's
+    entire (doc_id, tokens) row set sorts in a single task.  Documents
+    instead hash into ``n_streams`` md5 streams within each language
+    (retry/partitioning-stable, oracle-mirrorable), each stream filling
+    ``budget_per_lang // n_streams`` tokens independently; the window
+    partitions by (lang, stream) so every sort is ~1/n_streams of a
+    language and shrinks as ``n_streams`` grows.  ``n_streams=1``
+    recovers the exact global-order prefix.
+
+    Residual approximation (first-fit per stream, mirroring shard_pack's
+    overflow note): the selected set differs from the global-order prefix
+    — each stream stops at its own budget boundary — but the total
+    selected tokens never exceed ``budget_per_lang`` (floor division),
+    and selection is deterministic in (stream, order_col) order.
+    ``cum_tokens`` in the output is the per-stream running total."""
     from pyspark.sql.window import Window
 
+    per_stream = budget_per_lang // n_streams
     w = (
-        Window.partitionBy(lang_col)
+        Window.partitionBy(lang_col, "_tb_stream")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        df.withColumn("cum_tokens", F.sum(tokens_col).over(w))
-        .filter(F.col("cum_tokens") <= budget_per_lang)
+        df.withColumn(
+            "_tb_stream", F.expr(stream_expr(order_col, n_streams, "spark"))
+        )
+        .withColumn("cum_tokens", F.sum(tokens_col).over(w))
+        .filter(F.col("cum_tokens") <= per_stream)
+        .drop("_tb_stream")
     )
 
 
@@ -93,12 +126,27 @@ def stratified_sample(
     return spans.filter(F.expr(expr))
 
 
+SHARD_STREAM_TARGET = 65_536  # aim each stream's local sort at ~64k docs
+SHARD_STREAM_FLOOR = 256      # ≫ any executor-thread count we'd deploy on
+
+
+def shard_pack_streams(n_docs: int) -> int:
+    """Derive the shard-pack stream count from corpus cardinality (the
+    ``semantic_nlist`` pattern, similarity.py): each stream's running-sum
+    window is one local sort of ~``n_docs / n_streams`` rows, so target
+    ~``SHARD_STREAM_TARGET`` docs per stream with a floor that keeps
+    every deployment's executors saturated.  A fixed constant violates
+    the operator's own "``n_streams`` ≫ executor count" requirement the
+    moment the corpus outgrows it."""
+    return max(SHARD_STREAM_FLOOR, -(-n_docs // SHARD_STREAM_TARGET))
+
+
 def shard_pack(
     df: DataFrame,
     tokens_col: str = "n_tokens",
     id_col: str = "doc_id",
     shard_tokens: int = 50_000,
-    n_streams: int = 32,
+    n_streams: int | None = None,
 ) -> DataFrame:
     """Pack documents into pretraining shards of ~``shard_tokens`` tokens
     each — the tar-shard creation step of the reference's pretrain
@@ -111,21 +159,22 @@ def shard_pack(
     instead hash into ``n_streams`` independent streams (md5-based, so
     retry/partitioning-stable AND oracle-mirrorable), and the running
     token count is a window per stream: ``n_streams`` ≫ executor count
-    keeps every sort local and bounded at any corpus size.  Shards may
-    overflow by at most one document (first-fit semantics — standard for
-    tar shards; a shard boundary never splits a document).
+    keeps every sort local and bounded at any corpus size.  When
+    ``n_streams`` is None it is derived from the corpus cardinality via
+    ``shard_pack_streams`` (costs one count() job over the input plan —
+    pass it explicitly to skip).  Shards may overflow by at most one
+    document (first-fit semantics — standard for tar shards; a shard
+    boundary never splits a document).
 
     Returns (doc_id, n_tokens, shard_id) with shard_id =
     '<stream>-<local shard index>'."""
     from pyspark.sql.window import Window
 
-    stream = F.expr(
-        f"pmod(CAST(conv(substr(md5(CAST({id_col} AS STRING)), 1, 8),"
-        f" 16, 10) AS BIGINT), {n_streams})"
-    )
+    if n_streams is None:
+        n_streams = shard_pack_streams(df.count())
     w = (
         Window.partitionBy("stream")
-        .orderBy(id_col)
+        .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -133,7 +182,7 @@ def shard_pack(
             F.col(id_col).alias("doc_id"),
             F.col(tokens_col).cast("long").alias("n_tokens"),
         )
-        .withColumn("stream", stream)
+        .withColumn("stream", F.expr(stream_expr("doc_id", n_streams, "spark")))
         .withColumn("cum", F.sum("n_tokens").over(w))
         .select(
             "doc_id",

@@ -105,7 +105,10 @@ def anti_join_history(df: DataFrame, history: DataFrame,
 def filter_doc_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     """A3: keep candidate .doc/.docx urls (cc_url_process.py:37)."""
     return df.filter(
-        F.col(url_col).rlike(r"^(www|http:|https:).*[0-9A-Za-z_]\.docx?$")
+        # \z, not $: Java's '$' also matches before a trailing newline;
+        # \z (end-of-input) is the semantics RE2's '$' gives the DuckDB
+        # oracle, and both dialects accept the escape.
+        F.col(url_col).rlike(r"^(www|http:|https:).*[0-9A-Za-z_]\.docx?\z")
     )
 
 

@@ -1097,11 +1097,13 @@ def q_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language token-budget selection (window cumsum)."""
+    """Per-language token-budget selection — stream-decomposed cumsum
+    (md5 streams within each language, budget//n_streams per stream; the
+    oracle mirrors the same window over (lang, stream))."""
     df = _docs(spark, sf_dir).withColumn(
         "tokens", F.expr(T.token_exprs("text", "spark")["tokens_ws"])
     )
-    return SH.token_budget_sample(df, budget_per_lang=2_000).select(
+    return SH.token_budget_sample(df, budget_per_lang=2_000, n_streams=4).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "lang",
         "tokens",
@@ -2009,17 +2011,19 @@ def build_oracle_sql() -> dict[str, str]:
 
     oracles["token_budget"] = f"""
     WITH toks AS (
-      SELECT doc_id, lang, {tok['tokens_ws']} AS tokens FROM documents
+      SELECT doc_id, lang, {tok['tokens_ws']} AS tokens,
+             {SH.stream_expr('doc_id', 4, 'duckdb')} AS stream
+      FROM documents
     ),
     cum AS (
       SELECT doc_id, lang, tokens,
              CAST(sum(tokens) OVER (
-               PARTITION BY lang ORDER BY doc_id
+               PARTITION BY lang, stream ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS BIGINT) AS cum_tokens
       FROM toks
     )
-    SELECT doc_id, lang, tokens, cum_tokens FROM cum WHERE cum_tokens <= 2000
+    SELECT doc_id, lang, tokens, cum_tokens FROM cum WHERE cum_tokens <= 500
     """
 
     oracles["shape_sample"] = f"""

@@ -135,7 +135,11 @@ def find_matching_strings(value, pattern: re.Pattern) -> list[str]:
             stack.extend(v.values())
         elif isinstance(v, list):
             stack.extend(v)
-        elif isinstance(v, str) and pattern.match(v):
+        # fullmatch, not match: Python's '$' also matches just before a
+        # trailing '\n' while RE2's (the DuckDB oracle dialect) matches only
+        # end-of-text — fullmatch gives both engines end-of-text semantics,
+        # so 'https://x.com/f.doc\n' is harvested by neither.
+        elif isinstance(v, str) and pattern.fullmatch(v):
             out.append(v)
     return out
 
