@@ -188,3 +188,60 @@ def test_fuzz_roundtrip_paragraphs(items):
     if not items or items[-1] is None:
         expected.append("")  # final \r after a page break / empty doc
     assert got == expected
+
+
+def test_styled_roundtrip_builtin_and_custom_styles():
+    """r6: paragraph styles written as STSH + PAPX istd runs come back by
+    NAME through the reader's PAPX→STSH chain — across fixed-slot
+    builtins (heading 1-9 at their reserved istds), appended document
+    styles, empty styled paragraphs, page breaks, and the 1Table
+    variant."""
+    from wordscape_spark.docgen_doc import build_doc
+    from wordscape_spark.operators.doc_legacy import (
+        extract_doc_paragraph_runs,
+    )
+
+    items = [
+        {"text": "Introduction", "style": "heading 1"},
+        "plain paragraph",
+        {"text": "Background", "style": "heading 2", "bold": True,
+         "hps": 28},
+        {"text": "custom styled", "style": "fancy title"},
+        None,
+        {"text": "after break", "style": "macro"},
+        {"text": "", "style": "heading 9"},
+    ]
+    for which in (0, 1):
+        runs = extract_doc_paragraph_runs(build_doc(items, which_table=which))
+        styles = [r if r is None else r[3] for r in runs]
+        assert styles == [
+            "heading 1", "normal", "heading 2", "fancy title", None,
+            "macro", "heading 9",
+        ]
+    # CHPX formatting coexists with PAPX on the same paragraph
+    runs = extract_doc_paragraph_runs(build_doc(items))
+    assert runs[2] == ("Background", True, 14.0, "heading 2")
+
+
+def test_styled_roundtrip_spills_fkp_pages():
+    """300 paragraphs force multiple PapxFkp pages and piece seams; every
+    style must survive the bin-table walk."""
+    from wordscape_spark.docgen_doc import build_doc
+    from wordscape_spark.operators.doc_legacy import (
+        extract_doc_paragraph_runs,
+    )
+
+    def want(i):
+        if i % 4 == 0:
+            return f"heading {(i % 9) + 1}"
+        return "stylex" if i % 7 == 0 else None
+
+    items = [
+        {"text": f"Paragraph {i} with padding text spread across pieces",
+         "style": want(i)}
+        for i in range(300)
+    ]
+    runs = extract_doc_paragraph_runs(build_doc(items))
+    assert len(runs) == 300
+    for i, r in enumerate(runs):
+        assert r[3] == (want(i) or "normal"), (i, r)

@@ -25,10 +25,13 @@ Per-paragraph CHARACTER formatting (bold + font size) is written as real
 CHPX FKPs ([MS-DOC] ChpxFkp 512-byte pages in the WordDocument stream,
 addressed by a PlcfBteChpx in the table stream, sprmCFBold 0x0835 /
 sprmCHps 0x4A43) so the reader's formatting recovery feeds the C10/C11
-font heuristics on legacy docs; PAPX (paragraph style names) remains out
-of scope — every paragraph still enters the classifier as style "normal",
-the documented gap vs the reference's LibreOffice conversion
-(conversion_manager.py:161-223 preserves full styling).
+font heuristics on legacy docs.  Paragraph STYLES are written too (r6):
+a real STSH stylesheet (fixed istds 0-14 with Normal/heading 1-9 in their
+reserved slots, document styles appended from istd 15) plus PapxFkp pages
+addressed by a PlcfbtePapx whose PapxInFkp carries the paragraph's istd —
+so Word-97 builtin-styled headings reach the reader's C8 name path, the
+fidelity the reference gets by converting through LibreOffice
+(conversion_manager.py:161-223).
 """
 
 from __future__ import annotations
@@ -120,6 +123,122 @@ def _chpx_blob(bold: bool | None, hps: int | None) -> bytes | None:
     return bytes([len(grpprl)]) + grpprl
 
 
+# fixed stylesheet slots ([MS-DOC] istdMaxFixedWhenSaved = 15): Normal at
+# istd 0, heading 1-9 at istd 1-9, default paragraph font at 10, 11-14
+# written as empty LPStd slots (cbStd = 0), document styles from istd 15
+_FIXED_STYLES: tuple[str | None, ...] = (
+    "normal",
+    *(f"heading {i}" for i in range(1, 10)),
+    "default paragraph font",
+    None, None, None, None,
+)
+_HEADING_RE = re.compile(r"heading ([1-9])\Z")
+
+
+def _istd_for(style: str | None, extras: dict[str, int]) -> int:
+    """istd of a style name: fixed slot when reserved, else assigned from
+    15 up in first-use order (recorded in ``extras``)."""
+    if not style:
+        return 0
+    s = style.lower()
+    if s == "normal":
+        return 0
+    m = _HEADING_RE.fullmatch(s)
+    if m:
+        return int(m.group(1))
+    if s not in extras:
+        extras[s] = len(_FIXED_STYLES) + len(extras)
+    return extras[s]
+
+
+def _build_stsh(extra_names: list[str]) -> bytes:
+    """[MS-DOC] 2.9.271 STSH: LPStshi (cbStshi + STSHIF) followed by cstd
+    LPStd entries.  Each written STD is the Word-97 shape the reader (and
+    real parsers) walk: 10-byte StdfBase (cbSTDBaseInFile = 0x000A) then
+    the Xstz name; cupx = 0 (no UPX formatting payloads — names are the
+    classification surface, matching the reader's documented scope)."""
+    names = list(_FIXED_STYLES) + list(extra_names)
+    stshif = struct.pack(
+        "<9H",
+        len(names),          # cstd
+        0x000A,              # cbSTDBaseInFile (Word-97 StdfBase)
+        0x0001,              # fStdStylenamesWritten
+        0x000F,              # stiMaxWhenSaved
+        len(_FIXED_STYLES),  # istdMaxFixedWhenSaved
+        0x0000,              # nVerBuiltInNamesWhenSaved
+        0, 0, 0,             # rgftcStandardChpStsh
+    )
+    out = struct.pack("<H", len(stshif)) + stshif
+    for istd, name in enumerate(names):
+        if name is None:
+            out += struct.pack("<H", 0)  # empty reserved slot
+            continue
+        raw = name.encode("utf-16-le")
+        std = struct.pack(
+            "<5H",
+            istd if istd < len(_FIXED_STYLES) else 0x0FFE,  # sti (user)
+            (0x0FFF << 4) | 0x0001,   # istdBase none | stk paragraph
+            istd << 4,                # istdNext self | cupx 0
+            10 + 2 + len(raw) + 2,    # bchUpe
+            0x0000,                   # grfstd
+        ) + struct.pack("<H", len(name)) + raw + b"\x00\x00"
+        out += struct.pack("<H", len(std)) + std
+        if len(std) % 2:  # LPStd entries are 2-byte aligned
+            out += b"\x00"
+    return out
+
+
+def _build_papx_fkps(
+    fc_runs: list[tuple[int, int, int]], first_pn: int
+) -> tuple[bytes, bytes]:
+    """(PapxFkp pages blob, PlcfbtePapx blob).  Each PapxFkp is a 512-byte
+    page: rgfc[cpara+1] u32 paragraph boundaries, rgbx 13-byte BxPap
+    entries (bOffset word-offset, 0 = no PAPX → istd 0 Normal), PapxInFkp
+    structs packed downward (cb = 0 / cb' form: the GrpprlAndIstd is just
+    the 2-byte istd); identical istds within a page share one struct."""
+    pages: list[tuple[bytes, int, int]] = []
+    i = 0
+    while i < len(fc_runs):
+        runs: list[tuple[int, int, bytes | None]] = []
+        blobs: dict[bytes, int] = {}
+        top = 511
+        while i < len(fc_runs):
+            istd = fc_runs[i][2]
+            blob = (
+                None if istd == 0
+                else b"\x00\x01" + struct.pack("<H", istd)
+            )
+            new_top = top
+            if blob is not None and blob not in blobs:
+                new_top -= len(blob)
+                if new_top % 2:  # bOffset addresses words
+                    new_top -= 1
+            n = len(runs) + 1
+            if 4 * (n + 1) + 13 * n > new_top:
+                break  # page full
+            if blob is not None and blob not in blobs:
+                top = new_top
+                blobs[blob] = top
+            runs.append((fc_runs[i][0], fc_runs[i][1], blob))
+            i += 1
+        page = bytearray(512)
+        for r, (fc_s, _, _) in enumerate(runs):
+            struct.pack_into("<I", page, 4 * r, fc_s)
+        struct.pack_into("<I", page, 4 * len(runs), runs[-1][1])
+        base = 4 * (len(runs) + 1)
+        for r, (_, _, blob) in enumerate(runs):
+            page[base + 13 * r] = 0 if blob is None else blobs[blob] // 2
+        for blob, off in blobs.items():
+            page[off:off + len(blob)] = blob
+        page[511] = len(runs)
+        pages.append((bytes(page), runs[0][0], runs[-1][1]))
+
+    plc = b"".join(struct.pack("<I", p[1]) for p in pages)
+    plc += struct.pack("<I", pages[-1][2])
+    plc += b"".join(struct.pack("<I", first_pn + k) for k in range(len(pages)))
+    return b"".join(p[0] for p in pages), plc
+
+
 def _cp_ranges_to_fc_runs(
     styled: list[tuple[int, int, bytes]],
     piece_map: list,
@@ -207,16 +326,19 @@ def build_doc(
     """Render paragraphs (``None`` = page break) into .doc bytes.
 
     An item may be a plain string (unformatted) or a dict
-    ``{"text": str, "bold": bool|None, "hps": int|None}`` — bold/half-point
-    size become a real CHPX run covering the paragraph INCLUDING its mark
-    (Word formats the mark too, which is what lets an empty styled
-    paragraph round-trip).
+    ``{"text": str, "bold": bool|None, "hps": int|None, "style": str|None}``
+    — bold/half-point size become a real CHPX run covering the paragraph
+    INCLUDING its mark (Word formats the mark too, which is what lets an
+    empty styled paragraph round-trip); a non-Normal style becomes a real
+    STSH entry + PapxFkp istd run over the paragraph.
 
     ``which_table`` selects the table-stream name (0Table/1Table) and sets
     the FIB ``fWhichTblStm`` flag accordingly — Word emits both in the
     wild (the flag flips on incremental save)."""
     parts = []
     styled_cp: list[tuple[int, int, bytes]] = []
+    par_istds: list[int] = []
+    extras: dict[str, int] = {}
     cp = 0
     for item in items:
         if item is None:
@@ -226,29 +348,61 @@ def build_doc(
         if isinstance(item, dict):
             text = _CTRL_RE.sub(" ", item["text"]) + "\r"
             blob = _chpx_blob(item.get("bold"), item.get("hps"))
+            istd = _istd_for(item.get("style"), extras)
         else:
             text = _CTRL_RE.sub(" ", item) + "\r"
             blob = None
+            istd = 0
         if blob is not None:
             styled_cp.append((cp, cp + len(text), blob))
+        par_istds.append(istd)
         parts.append(text)
         cp += len(text)
     text = "".join(parts)
     if not text.endswith("\r"):
+        # the final mark Word always stores; a page break at the end of
+        # the items list leaves an (unstyled) empty trailing paragraph
         text += "\r"
+        par_istds.append(0)
 
     text_bytes, clx, ccp_text, piece_map = _encode_pieces(text)
 
-    # CHPX FKP pages live on 512-byte boundaries of the WordDocument stream
+    def fc_of(cpos: int) -> int:
+        for cp_s, cp_e, byte_off, bpc in piece_map:
+            if cp_s <= cpos < cp_e:
+                return byte_off + bpc * (cpos - cp_s)
+        cp_s, cp_e, byte_off, bpc = piece_map[-1]
+        return byte_off + bpc * (cp_e - cp_s)
+
+    # FKP pages live on 512-byte boundaries of the WordDocument stream:
+    # [FIB | text | pad | CHPX pages | PAPX pages]
     word_len = _FIB_SIZE + len(text_bytes)
-    fkp_bytes = b""
+    pad = (-word_len) % 512
+    next_pn = (word_len + pad) // 512
+    pages_blob = b""
     plcfbte = b""
+    papx_plc = b""
     if styled_cp:
-        pad = (-word_len) % 512
-        first_pn = (word_len + pad) // 512
         fc_runs = _cp_ranges_to_fc_runs(styled_cp, piece_map, len(text_bytes))
-        fkp_bytes, plcfbte = _build_chpx_fkps(fc_runs, first_pn)
-        fkp_bytes = b"\x00" * pad + fkp_bytes
+        chpx_pages, plcfbte = _build_chpx_fkps(fc_runs, next_pn)
+        pages_blob += chpx_pages
+        next_pn += len(chpx_pages) // 512
+    if any(par_istds):
+        # paragraph cp ranges: one per \r mark ('\x0c' page-break chars
+        # merge into the FOLLOWING paragraph's range, as stored text does)
+        ranges = []
+        start = 0
+        for idx, ch in enumerate(text):
+            if ch == "\r":
+                ranges.append((start, idx + 1))
+                start = idx + 1
+        par_fc_runs = [
+            (fc_of(s), fc_of(e), istd)
+            for (s, e), istd in zip(ranges, par_istds)
+        ]
+        papx_pages, papx_plc = _build_papx_fkps(par_fc_runs, next_pn)
+        pages_blob += papx_pages
+    fkp_bytes = (b"\x00" * pad + pages_blob) if pages_blob else b""
 
     fib = bytearray(_FIB_SIZE)
     struct.pack_into("<H", fib, 0x0000, 0xA5EC)   # wIdent
@@ -259,15 +413,25 @@ def build_doc(
     struct.pack_into("<I", fib, 0x0040, _FIB_SIZE + len(text_bytes))  # cbMac
     struct.pack_into("<I", fib, 0x004C, ccp_text)  # ccpText
     struct.pack_into("<H", fib, 0x0098, 0x005D)   # cbRgFcLcb (93 pairs)
+    table_stream = clx
     if plcfbte:
-        struct.pack_into("<I", fib, 0x00FA, len(clx))      # fcPlcfBteChpx
-        struct.pack_into("<I", fib, 0x00FE, len(plcfbte))  # lcbPlcfBteChpx
+        struct.pack_into("<I", fib, 0x00FA, len(table_stream))
+        struct.pack_into("<I", fib, 0x00FE, len(plcfbte))
+        table_stream += plcfbte
+    if papx_plc:
+        struct.pack_into("<I", fib, 0x0102, len(table_stream))
+        struct.pack_into("<I", fib, 0x0106, len(papx_plc))
+        table_stream += papx_plc
+        stsh = _build_stsh(sorted(extras, key=extras.get))
+        struct.pack_into("<I", fib, 0x00A2, len(table_stream))
+        struct.pack_into("<I", fib, 0x00A6, len(stsh))
+        table_stream += stsh
     struct.pack_into("<I", fib, 0x01A2, 0)        # fcClx (CLX at 0Table:0)
     struct.pack_into("<I", fib, 0x01A6, len(clx))  # lcbClx
 
     word_stream = bytes(fib) + text_bytes + fkp_bytes
     return _build_cfb(
-        {"WordDocument": word_stream, f"{which_table}Table": clx + plcfbte}
+        {"WordDocument": word_stream, f"{which_table}Table": table_stream}
     )
 
 
@@ -435,6 +599,7 @@ def _build_cfb(streams: dict[str, bytes]) -> bytes:
 _PAR_RE = re.compile(r"p=(\d+)")
 _BOLD_RE = re.compile(r";b=([^;]+)")
 _SIZE_RE = re.compile(r";sz=([^;]+)")
+_STYLE_RE = re.compile(r";s=([^;]*)")
 
 
 def _run_props(kind: str) -> tuple[bool | None, int | None]:
@@ -494,11 +659,13 @@ def spans_to_styled_items(spans: list[dict]) -> list[dict | None]:
     for p in by_par:
         runs = sorted(pars[p])
         bold, hps = _run_props(runs[0][2])
+        m = _STYLE_RE.search(runs[0][2])
         items.append(
             {
                 "text": "".join(t for _, t, _ in runs),
                 "bold": bold,
                 "hps": hps,
+                "style": m.group(1) if m else None,
             }
         )
         for _ in range(break_after.get(p, 0)):
@@ -522,10 +689,11 @@ def ensure_doc(sf: float) -> str:
     import pyarrow.parquet as pq
 
     # local format version: bump when the RENDERED BYTES change for the
-    # same interleaved input (v2: CHPX bold/size formatting runs)
+    # same interleaved input (v2: CHPX bold/size formatting runs;
+    # v3: STSH stylesheet + PAPX istd runs — paragraph style names)
     out_dir = (
         pathlib.Path("/root/repo/data/doc_legacy")
-        / f"v{datagen.DATAGEN_VERSION}.2"
+        / f"v{datagen.DATAGEN_VERSION}.3"
         / f"sf{sf:g}"
     )
     out = out_dir / "docs.parquet"

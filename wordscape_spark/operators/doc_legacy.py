@@ -10,13 +10,18 @@ recovers the main-document *text and paragraph structure* and emits it in
 the interleaved span grammar, so ``extract()`` runs unchanged downstream.
 
 Scope (documented): CHARACTER formatting (CHPX FKPs — bold via sprmCFBold
-0x0835, font size via sprmCHps 0x4A43) IS decoded and feeds the C10/C11
+0x0835, font size via sprmCHps 0x4A43) is decoded and feeds the C10/C11
 font heuristics: per paragraph, the properties of its first character
-(paragraph-uniform in practice for converted docs).  PAPX (paragraph style
-names / istd → stylesheet) is not — every paragraph enters the classifier
-as style "normal" with real font signals, so heading detection runs on the
-font-heuristic + content-aware path.  Full named-style fidelity still
-requires the reference's LibreOffice conversion.
+(paragraph-uniform in practice for converted docs).  PARAGRAPH styles are
+decoded too (r6): PAPX FKPs via the PlcfbtePapx bin table give each
+paragraph its ``istd``, resolved to a style NAME through the stylesheet
+(STSH at FIB fcStshf) — so Word-97 builtin-styled headings ("heading 1"…)
+take the C8 builtin-style prefix path exactly like .docx input, no
+LibreOffice conversion required (the reference's route,
+soffice/conversion_manager.py:46-120).  Still out of scope: PAPX sprm
+overrides beyond the istd (direct paragraph formatting), style
+inheritance chains (istdBase), and UPX-level style definitions — name
+resolution is the classification-relevant surface.
 
 Reader structure:
 
@@ -243,13 +248,95 @@ def _chpx_runs(
     return runs
 
 
+def _parse_stsh(wd: bytes, table: bytes) -> list[str | None]:
+    """istd → lowercase style name from the stylesheet ([MS-DOC] 2.9.271
+    STSH at FIB fcStshf/lcbStshf 0x00A2/0x00A6: LPStshi header, then cstd
+    LPStd entries whose Xstz name sits at STSHI.cbSTDBaseInFile).  Empty
+    on absence/malformation — style recovery is a best-effort signal,
+    like CHPX, never a parse failure."""
+    fc = _u32(wd, 0x00A2)
+    lcb = _u32(wd, 0x00A6)
+    if lcb < 6 or fc + lcb > len(table):
+        return []
+    stsh = table[fc:fc + lcb]
+    names: list[str | None] = []
+    try:
+        cb_stshi = _u16(stsh, 0)
+        cstd = _u16(stsh, 2)
+        cb_std_base = _u16(stsh, 4)
+        pos = 2 + cb_stshi
+        for _ in range(cstd):
+            if pos + 2 > len(stsh):
+                break
+            cb_std = _u16(stsh, pos)
+            pos += 2
+            if cb_std == 0:  # empty slot (reserved fixed istd)
+                names.append(None)
+                continue
+            std = stsh[pos:pos + cb_std]
+            pos += cb_std + (cb_std & 1)  # LPStd entries are 2-byte aligned
+            if len(std) < cb_std_base + 2:
+                names.append(None)
+                continue
+            cch = _u16(std, cb_std_base)
+            raw = std[cb_std_base + 2:cb_std_base + 2 + 2 * cch]
+            names.append(raw.decode("utf-16-le", "replace").lower())
+    except (struct.error, IndexError):
+        return []
+    return names
+
+
+def _papx_runs(wd: bytes, table: bytes) -> list[tuple[int, int, int]]:
+    """(fcStart, fcEnd, istd) paragraph runs from the PlcfbtePapx
+    (FIB 0x0102/0x0106) → PapxFkp chain.  BxPap entries are 13 bytes
+    (bOffset + 12-byte PHE); bOffset 0 = no PAPX = istd 0 (Normal); the
+    PapxInFkp's GrpprlAndIstd leads with the istd — the only field style
+    classification needs.  Empty on malformation (best-effort)."""
+    fc = _u32(wd, 0x0102)
+    lcb = _u32(wd, 0x0106)
+    if lcb < 8 or fc + lcb > len(table):
+        return []
+    plc = table[fc:fc + lcb]
+    n = (lcb - 4) // 8
+    runs: list[tuple[int, int, int]] = []
+    try:
+        for i in range(n):
+            pn = _u32(plc, 4 * (n + 1) + 4 * i)
+            page = wd[pn * 512:(pn + 1) * 512]
+            if len(page) < 512:
+                continue
+            cpara = page[511]
+            if cpara == 0 or 4 * (cpara + 1) + 13 * cpara > 511:
+                continue
+            base = 4 * (cpara + 1)
+            for r in range(cpara):
+                b_off = page[base + 13 * r]
+                istd = 0
+                if b_off:
+                    off = 2 * b_off
+                    cb = page[off]
+                    if cb == 0:  # PapxInFkp cb'=next byte, size 2*cb'
+                        grp = page[off + 2:off + 2 + 2 * page[off + 1]]
+                    else:
+                        grp = page[off + 1:off + 1 + 2 * cb - 1]
+                    if len(grp) >= 2:
+                        istd = _u16(grp, 0)
+                runs.append(
+                    (_u32(page, 4 * r), _u32(page, 4 * (r + 1)), istd)
+                )
+    except (struct.error, IndexError):
+        return []
+    runs.sort()
+    return runs
+
+
 def _doc_content(
     data: bytes,
-) -> tuple[str, list, list]:
-    """(text, piece map, chpx runs) of a .doc byte string.  The piece map
-    carries (cp_start, cp_end, byte_off, bytes_per_cp) so a CP can be
-    mapped back to its real WordDocument-stream offset (what CHPX runs
-    address)."""
+) -> tuple[str, list, list, list, list]:
+    """(text, piece map, chpx runs, papx runs, style names) of a .doc byte
+    string.  The piece map carries (cp_start, cp_end, byte_off,
+    bytes_per_cp) so a CP can be mapped back to its real
+    WordDocument-stream offset (what CHPX/PAPX runs address)."""
     cfb = CfbFile(data)
     wd = cfb.stream("WordDocument")
     if _u16(wd, 0) != 0xA5EC:
@@ -286,7 +373,13 @@ def _doc_content(
             parts.append(wd[fc:fc + 2 * count].decode("utf-16-le"))
             piece_map.append((total, total + count, fc, 2))
         total += count
-    return "".join(parts)[:ccp_text], piece_map, _chpx_runs(wd, table)
+    return (
+        "".join(parts)[:ccp_text],
+        piece_map,
+        _chpx_runs(wd, table),
+        _papx_runs(wd, table),
+        _parse_stsh(wd, table),
+    )
 
 
 def extract_doc_text(data: bytes) -> str:
@@ -294,54 +387,89 @@ def extract_doc_text(data: bytes) -> str:
     return _doc_content(data)[0]
 
 
+def _fc_of_cp(cp: int, piece_map: list) -> int | None:
+    """CP → real WordDocument-stream byte offset through the piece table."""
+    for cp_s, cp_e, byte_off, bpc in piece_map:
+        if cp_s <= cp < cp_e:
+            return byte_off + bpc * (cp - cp_s)
+    return None
+
+
+def _covering_run(fc: int, runs: list):
+    """The run tuple covering ``fc`` (runs sorted by fcStart), or None."""
+    lo = bisect.bisect_right(runs, (fc, float("inf"))) - 1
+    if lo >= 0 and runs[lo][0] <= fc < runs[lo][1]:
+        return runs[lo]
+    return None
+
+
 def _props_at_cp(
     cp: int, piece_map: list, runs: list
 ) -> tuple[bool | None, float | None]:
     """Character formatting at a CP: map through the piece table to the
-    real stream offset, then find the covering CHPX run (``runs`` sorted
-    by fcStart — bisect on starts, verify coverage)."""
+    real stream offset, then find the covering CHPX run."""
     if not runs:
         return None, None
-    for cp_s, cp_e, byte_off, bpc in piece_map:
-        if cp_s <= cp < cp_e:
-            fc = byte_off + bpc * (cp - cp_s)
-            lo = bisect.bisect_right(runs, (fc, float("inf"))) - 1
-            if lo >= 0:
-                f0, f1, bold, size = runs[lo]
-                if f0 <= fc < f1:
-                    return bold, size
-            return None, None
+    fc = _fc_of_cp(cp, piece_map)
+    if fc is not None:
+        hit = _covering_run(fc, runs)
+        if hit is not None:
+            return hit[2], hit[3]
     return None, None
+
+
+def _style_at_cp(
+    cp: int, piece_map: list, papx: list, names: list
+) -> str:
+    """Paragraph style name at a CP: PAPX run → istd → stylesheet name.
+    Falls back to "normal" (istd 0's conventional name) whenever the
+    chain is absent or the istd is unresolvable — the pre-r6 behavior."""
+    if papx:
+        fc = _fc_of_cp(cp, piece_map)
+        if fc is not None:
+            hit = _covering_run(fc, papx)
+            if hit is not None:
+                istd = hit[2]
+                if 0 <= istd < len(names) and names[istd]:
+                    return names[istd]
+    return "normal"
 
 
 def extract_doc_paragraph_runs(
     data: bytes,
-) -> list[tuple[str, bool | None, float | None] | None]:
-    """Paragraphs in document order as ``(text, bold, size_pt)``; ``None``
-    marks a page break.  Formatting is the CHPX properties of the
+) -> list[tuple[str, bool | None, float | None, str] | None]:
+    """Paragraphs in document order as ``(text, bold, size_pt, style)``;
+    ``None`` marks a page break.  Formatting is the CHPX properties of the
     paragraph's FIRST character (including the mark of an empty paragraph
-    — Word formats the mark too).
+    — Word formats the mark too); ``style`` is the PAPX istd resolved
+    through the stylesheet ("normal" when the chain is absent).
 
     0x0D ends a paragraph, 0x07 ends a table cell/row (flattened to a
     paragraph boundary at text level), 0x0C is a page break; field/object
     control chars are stripped from the text."""
-    text, piece_map, runs = _doc_content(data)
-    out: list[tuple[str, bool | None, float | None] | None] = []
+    text, piece_map, runs, papx, names = _doc_content(data)
+    out: list[tuple[str, bool | None, float | None, str] | None] = []
     buf: list[str] = []
     par_start = 0
+
+    def flush() -> None:
+        out.append(
+            (
+                "".join(buf),
+                *_props_at_cp(par_start, piece_map, runs),
+                _style_at_cp(par_start, piece_map, papx, names),
+            )
+        )
+
     for idx, ch in enumerate(text):
         o = ord(ch)
         if o in (0x0D, 0x07):
-            out.append(
-                ("".join(buf), *_props_at_cp(par_start, piece_map, runs))
-            )
+            flush()
             buf = []
             par_start = idx + 1
         elif o == 0x0C:
             if buf:
-                out.append(
-                    ("".join(buf), *_props_at_cp(par_start, piece_map, runs))
-                )
+                flush()
                 buf = []
             out.append(None)  # page break
             par_start = idx + 1
@@ -350,7 +478,7 @@ def extract_doc_paragraph_runs(
         else:
             buf.append(ch)
     if buf:
-        out.append(("".join(buf), *_props_at_cp(par_start, piece_map, runs)))
+        flush()
     return out
 
 
@@ -364,8 +492,9 @@ def extract_doc_paragraphs(data: bytes) -> list[str | None]:
 
 def parse_doc_bytes(data: bytes) -> list[dict]:
     """One .doc byte string → ordered span rows in the interleaved grammar
-    (every paragraph style "normal" — PAPX/stylesheet out of scope — with
-    REAL font signals from the CHPX runs; page breaks as ``pb`` spans)."""
+    with REAL font signals from the CHPX runs AND real paragraph style
+    names from the PAPX→STSH chain (r6) — builtin-styled Word-97 headings
+    classify via the C8 name path; page breaks as ``pb`` spans."""
     rows = []
     par = 0
     for item in extract_doc_paragraph_runs(data):
@@ -374,12 +503,12 @@ def parse_doc_bytes(data: bytes) -> list[dict]:
                 {"kind": sig.PAGE_BREAK, "text": None, "media_ref": None}
             )
             continue
-        text, bold, size = item
+        text, bold, size, style = item
         rows.append(
             {
                 "kind": sig.encode_run(
                     par=par,
-                    style="normal",
+                    style=style,
                     size=sig.FONT_UNKNOWN if size is None else size,
                     bold=bold,
                 ),

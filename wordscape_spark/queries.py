@@ -954,6 +954,68 @@ def q_doc_styled_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_builtin_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 over legacy .doc (r6): builtin paragraph styles written as a
+    REAL Word-97 STSH stylesheet + PAPX istd runs (docgen_doc), recovered
+    through the reader's PAPX→STSH chain (operators/doc_legacy.py), and
+    classified by the builtin-style prefix map.  The fixture docs carry
+    ZERO font information, so a heading here can only come from the style
+    NAME — the path the reference reaches via LibreOffice conversion
+    (soffice/conversion_manager.py:161-223).  Oracle: hand-derived
+    literal rows (fixtures.DOC_BUILTIN_EXPECTED), produced by no repo
+    code."""
+    from wordscape_spark import docgen_doc
+    from wordscape_spark.fixtures import DOC_BUILTIN_INPUT
+    from wordscape_spark.operators import doc_legacy as DL
+
+    rows = [
+        (doc_id, docgen_doc.build_doc(items))
+        for doc_id, items in DOC_BUILTIN_INPUT
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, content binary")
+    extracted = X.extract(DL.doc_to_spans(docs))
+    return (
+        X.spans_out(extracted)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("offset"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.page").alias("page"),
+        )
+    )
+
+
+def q_doc_style_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Style-NAME fidelity of the .doc chain at table scale: per-doc
+    counts of non-Normal paragraph styles recovered by the reader from
+    the rendered Word-97 binaries must equal the first-run styles of the
+    interleaved table (the writer styles each paragraph with its first
+    run's ``s=`` field).  Dual-dialect relational oracle, independent of
+    writer, reader and span grammar.  Normal excluded on both sides: the
+    writer's final-mark paragraph (after a trailing page break) is
+    unstyled by construction."""
+    from wordscape_spark import docgen_doc
+    from wordscape_spark.operators import doc_legacy as DL
+
+    path = docgen_doc.ensure_doc(datagen.sf_from_dir(sf_dir))
+    spans = DL.doc_to_spans(spark.read.parquet(path))
+    runs = spans.select("doc_id", F.explode("spans").alias("s")).filter(
+        F.col("s.kind").startswith("r;")
+    )
+    styled = runs.select(
+        "doc_id",
+        F.regexp_extract("s.kind", ";s=([^;]*)", 1).alias("style"),
+    )
+    return (
+        styled.filter((F.col("style") != "normal") & (F.col("style") != ""))
+        .groupBy("doc_id", "style")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
 def q_doc_core_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D12: core properties + w:lang distinct tags (oxml_metadata.py:33-58).
     Oracle: direct SQL over the interleaved meta spans (independent of the
@@ -2395,12 +2457,36 @@ def build_oracle_sql() -> dict[str, str]:
     HAVING n_bold + n_unbold + n_sized > 0
     """
 
+    # .doc style-name round-trip: first-run styles from the interleaved
+    # table alone (independent of writer, reader, span grammar)
+    oracles["doc_style_roundtrip"] = f"""
+    WITH runs AS (
+      SELECT doc_id,
+             CAST(regexp_extract(u.kind, 'p=([0-9]+)', 1) AS INT) AS par,
+             u."offset" AS off,
+             regexp_extract(u.kind, ';s=([^;]*)', 1) AS style
+      FROM (SELECT doc_id, unnest(spans) AS u FROM read_parquet('{ipath}'))
+      WHERE u.kind LIKE 'r;%'
+    ),
+    firsts AS (
+      SELECT doc_id, style,
+             row_number() OVER (PARTITION BY doc_id, par ORDER BY off) AS rn
+      FROM runs
+    )
+    SELECT doc_id, style, CAST(count(*) AS BIGINT) AS n
+    FROM firsts WHERE rn = 1 AND style <> 'normal' AND style <> ''
+    GROUP BY doc_id, style
+    """
+
     # hand-authored literal expectations — generated by no repo code
-    # (wordscape_spark/fixtures.py, FIXTURE_EXPECTED)
+    # (wordscape_spark/fixtures.py, FIXTURE_EXPECTED / DOC_BUILTIN_EXPECTED)
     from wordscape_spark.fixtures import (
+        doc_builtin_expected_sql,
         fixture_expected_sql,
         fixture_rejects_sql,
     )
+
+    oracles["doc_builtin_ingest"] = doc_builtin_expected_sql()
 
     oracles["fixture_spans"] = fixture_expected_sql()
     oracles["fixture_rejects"] = fixture_rejects_sql()
@@ -2462,37 +2548,71 @@ def build_oracle_sql() -> dict[str, str]:
 
 
 # Registry order is load-bearing: the driver's CORRECTNESS gate verifies the
-# FIRST 50 entries only.  Slots 1-11 therefore carry the queries that lacked an
-# r4 row (checkpoint_resume / doc_ingest had never been driver-verified);
-# round-5 additions go next; long-green stalwarts (green in r3 AND r4) rotate
-# to the tail, where falling past slot 50 costs nothing — the r3/r4 rows
-# already cover them.
+# FIRST 50 entries only.  r6 rotation (per the r5 verdict): new r6 queries
+# first, then the 19 queries whose last driver row is r4, then every query
+# this round's code changes touched, then enough r5-green stalwarts to fill
+# the window; the remaining r5 greens rotate to the tail, where falling past
+# slot 50 costs nothing — the r5 rows already cover them.  Union invariant:
+# r5+r6 covers all 71 registered queries, no query >1 round stale.
 QUERIES = {
-    "checkpoint_resume": q_checkpoint_resume,
+    # --- new in r6 ---
+    "doc_builtin_ingest": q_doc_builtin_ingest,
+    "doc_style_roundtrip": q_doc_style_roundtrip,
+    # --- last driver row is r4: due this round ---
+    "langid_file_model": q_langid_file_model,
+    "perplexity_arpa": q_perplexity_arpa,
+    "span_dedup": q_span_dedup,
+    "dedup_pipeline": q_dedup_pipeline,
+    "token_budget": q_token_budget,
+    "doc_meta_wide": q_doc_meta_wide,
+    "ann_lsh_recall": q_ann_lsh_recall,
+    "page_meta": q_page_meta,
+    "page_langid": q_page_langid,
+    "page_whitelist": q_page_whitelist,
+    "a_url_hash_dedup": q_a_url_hash_dedup,
+    "a_doc_id_assign": q_a_doc_id_assign,
+    "a_anti_join": q_a_anti_join,
+    "a_filter_doc_urls": q_a_filter_doc_urls,
+    "a_clean_urls": q_clean_urls,
+    "text_metrics": q_text_metrics,
+    "langid": q_langid,
+    "normalize": q_normalize,
+    "token_counts": q_token_counts,
+    # --- touched by r6 code changes: fresh rows wanted ---
+    "gopher_quality": q_gopher_quality,
+    "langid_train": q_langid_train,
+    "wat_doc_urls": q_wat_doc_urls,
+    "shard_pack": q_shard_pack,
     "doc_ingest": q_doc_ingest,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_ivf_recall": q_ann_ivf_recall,
+    "doc_styled_ingest": q_doc_styled_ingest,
+    # --- r5-green, kept in-window (extract/fixture/stream/dedup core) ---
+    "extract_spans": q_extract_spans,
+    "extract_spans_slim": q_extract_spans_slim,
+    "extract_text": q_extract_text,
+    "extract_text_metrics": q_extract_text_metrics,
+    "extract_reject_counts": q_extract_reject_counts,
+    "extract_entity_counts": q_extract_entity_counts,
+    "extract_quality": q_extract_quality,
     "fixture_spans": q_fixture_spans,
     "fixture_rejects": q_fixture_rejects,
+    "checkpoint_resume": q_checkpoint_resume,
     "stream_extract": q_stream_extract,
     "stream_dedup_extract": q_stream_dedup_extract,
-    "page_semi_join": q_page_semi_join,
-    "doc_core_props": q_doc_core_props,
     "docx_ingest": q_docx_ingest,
-    "doc_styled_ingest": q_doc_styled_ingest,
-    "wat_doc_urls": q_wat_doc_urls,
+    "doc_core_props": q_doc_core_props,
     "line_dedup": q_line_dedup,
     "pii_scrub": q_pii_scrub,
     "gopher_repetition": q_gopher_repetition,
-    "shard_pack": q_shard_pack,
     "gopher_dup_ngrams": q_gopher_dup_ngrams,
-    "langid_train": q_langid_train,
+    "c4_clean": q_c4_clean,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_simhash": q_dedup_simhash,
-    "gopher_quality": q_gopher_quality,
-    "c4_clean": q_c4_clean,
+    # --- tail: r5-green stalwarts rotated out of the 50-slot window ---
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_recall": q_ann_ivf_recall,
+    "page_semi_join": q_page_semi_join,
     "semantic_dedup": q_semantic_dedup,
     "contamination": q_contamination,
     "fingerprint_winnow": q_fingerprint_winnow,
@@ -2500,13 +2620,6 @@ QUERIES = {
     "doc_whitelist": q_doc_whitelist,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
-    "extract_text": q_extract_text,
-    "extract_text_metrics": q_extract_text_metrics,
-    "extract_reject_counts": q_extract_reject_counts,
-    "extract_spans": q_extract_spans,
-    "extract_spans_slim": q_extract_spans_slim,
-    "extract_entity_counts": q_extract_entity_counts,
-    "extract_quality": q_extract_quality,
     "page_filter": q_page_filter,
     "media_stats": q_media_stats,
     "media_features": q_media_features,
@@ -2518,24 +2631,4 @@ QUERIES = {
     "embed_near_dup": q_embed_near_dup,
     "whitelist_perplexity": q_whitelist_perplexity,
     "langid_trigram": q_langid_trigram,
-    "langid_file_model": q_langid_file_model,
-    "perplexity_arpa": q_perplexity_arpa,
-    "span_dedup": q_span_dedup,
-    "dedup_pipeline": q_dedup_pipeline,
-    "token_budget": q_token_budget,
-    "doc_meta_wide": q_doc_meta_wide,
-    "ann_lsh_recall": q_ann_lsh_recall,
-    "page_meta": q_page_meta,
-    "page_langid": q_page_langid,
-    "page_whitelist": q_page_whitelist,
-    # --- tail: long-green stalwarts rotated out of the 50-slot window ---
-    "a_url_hash_dedup": q_a_url_hash_dedup,
-    "a_doc_id_assign": q_a_doc_id_assign,
-    "a_anti_join": q_a_anti_join,
-    "a_filter_doc_urls": q_a_filter_doc_urls,
-    "a_clean_urls": q_clean_urls,
-    "text_metrics": q_text_metrics,
-    "langid": q_langid,
-    "normalize": q_normalize,
-    "token_counts": q_token_counts,
 }
