@@ -40,6 +40,58 @@ def _median(xs: list[float]) -> float:
     return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
 
+def _loadavg1() -> float:
+    """1-minute load average — external pressure at pass start."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return -1.0
+
+
+def _steal_ticks() -> int:
+    """Cumulative CPU-steal jiffies (noisy-neighbor signal on this VM)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])  # cpu: user nice system idle iowait irq softirq STEAL
+    except (OSError, ValueError, IndexError):
+        return -1
+
+
+class _NoiseProbe:
+    """Per-pass host-noise samples recorded into the bench JSON, so a
+    regression-looking round can be adjudicated as window-vs-code without
+    re-running (driver suite numbers swung 2× on host noise in r4 AND r5;
+    the r5 verdict asked for this guard).  Per pass: the 1-min loadavg at
+    pass start and the steal-time seconds accumulated DURING the pass."""
+
+    def __init__(self):
+        self.loadavg: dict[str, list[float]] = {}
+        self.steal_s: dict[str, list[float]] = {}
+        try:
+            self._hz = os.sysconf("SC_CLK_TCK") or 100
+        except (ValueError, OSError):
+            self._hz = 100
+
+    def start(self) -> tuple[float, int]:
+        return _loadavg1(), _steal_ticks()
+
+    def end(self, name: str, started: tuple[float, int]) -> None:
+        load0, steal0 = started
+        steal1 = _steal_ticks()
+        self.loadavg.setdefault(name, []).append(load0)
+        self.steal_s.setdefault(name, []).append(
+            round((steal1 - steal0) / self._hz, 2)
+            if steal0 >= 0 and steal1 >= 0
+            else -1.0
+        )
+
+    def report(self) -> dict:
+        return {"loadavg1_at_pass_start": self.loadavg,
+                "steal_s_during_pass": self.steal_s}
+
+
 def run_bench() -> dict:
     from wordscape_spark import datagen
     from wordscape_spark import queries as Q
@@ -80,12 +132,16 @@ def run_bench() -> dict:
     # warmup: spawn python workers / JIT codegen before any timed query
     _noop_write(X.extract(docs.limit(512)))
 
+    noise = _NoiseProbe()
+
     def timed(name: str, fn):
         walls = []
         for _ in range(n_passes):
+            probe = noise.start()
             t0 = time.monotonic()
             fn()
             walls.append(round(time.monotonic() - t0, 3))
+            noise.end(name, probe)
         passes[name] = walls
         timings[name] = min(walls)
         timings_median[name] = round(_median(walls), 3)
@@ -161,6 +217,7 @@ def run_bench() -> dict:
             n_spans / timings_median["extract"], 2
         ),
         "cpus": int(CPUS),
+        "noise": noise.report(),
     }
 
 
@@ -329,10 +386,13 @@ def run_extract_only() -> dict:
     # GC alignment).  The min is the reproducible steady-state capability;
     # every pass wall is disclosed in `passes`.
     passes = []
+    noise = _NoiseProbe()
     for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))):
+        probe = noise.start()
         t0 = time.monotonic()
         _noop_write(extracted)
         passes.append(round(time.monotonic() - t0, 3))
+        noise.end("extract", probe)
     secs = min(passes)
     med = round(_median(passes), 3)
     spark.stop()
@@ -349,6 +409,7 @@ def run_extract_only() -> dict:
         "docs_per_sec": round(n_docs / secs, 2),
         "docs_per_sec_median": round(n_docs / med, 2),
         "cpus": int(CPUS),
+        "noise": noise.report(),
     }
 
 

@@ -234,3 +234,131 @@ def test_maldoc_injection_requires_names(spark):
     )
     with pytest.raises(ValueError, match="indicator_names"):
         MD.maldoc_check(media, indicators=_fake_indicator_backend)
+
+
+# --- PIL image decode (features + resize) ----------------------------------
+
+
+@pytest.fixture
+def fake_pil(monkeypatch):
+    """Stub PIL: content b'IMG:<w>x<h>:<payload>' decodes to an image whose
+    grayscale pixels are the payload bytes cycled to w*h; anything else
+    raises.  Bomb-gate proof: touching pixel data on a bomb-sized image
+    raises, so the adapter must gate on .size alone."""
+
+    class _Img:
+        def __init__(self, w, h, payload):
+            self.size = (w, h)
+            self._payload = payload
+
+        def _pixels(self, n):
+            if self.size[0] * self.size[1] > 10_000_000:
+                raise AssertionError("pixel access on bomb-sized image")
+            p = self._payload or b"\x00"
+            return list((p * (n // len(p) + 1))[:n])
+
+        def convert(self, mode):
+            return self
+
+        def getdata(self):
+            return self._pixels(self.size[0] * self.size[1])
+
+        def resize(self, wh):
+            out = _Img(wh[0], wh[1], self._payload)
+            return out
+
+        def save(self, buf, format):
+            buf.write(
+                f"RESIZED:{self.size[0]}x{self.size[1]}:{format}".encode()
+            )
+
+    def _open(f):
+        data = f.read()
+        if not data.startswith(b"IMG:"):
+            raise OSError("cannot identify image file")
+        head, _, payload = data[4:].partition(b":")
+        w, h = head.split(b"x")
+        return _Img(int(w), int(h), payload)
+
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = _open
+    pkg = types.ModuleType("PIL")
+    pkg.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pkg)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+    yield pkg
+
+
+def test_pil_feature_decoder_contract(fake_pil):
+    fn = A.pil_feature_decoder()
+    out = fn(b"IMG:4x2:\x10\x20")
+    assert out["n_bytes"] == len(b"IMG:4x2:\x10\x20")
+    # mean over the 8 cycled grayscale pixels: (0x10+0x20)/2
+    assert out["byte_mean"] == 24.0
+    assert len(out["phash"]) == 16
+    assert out["phash"] not in ("bomb", "decode_error")
+    int(out["phash"], 16)  # valid 64-bit hex
+
+
+def test_pil_feature_decoder_bomb_gate_is_header_only(fake_pil):
+    """Oversized pixel count must be rejected from the HEADER: the stub
+    raises on any pixel access for bomb-sized images (zip_bomb.py:63-131
+    behavior — reject before decompressing)."""
+    fn = A.pil_feature_decoder(max_pixels=1_000_000)
+    out = fn(b"IMG:100000x100000:\x10")
+    assert out["phash"] == "bomb" and out["byte_mean"] == -1.0
+
+
+def test_pil_feature_decoder_fails_closed(fake_pil):
+    out = A.pil_feature_decoder()(b"\x89PNG not really")
+    assert out["phash"] == "decode_error" and out["byte_mean"] == -1.0
+    assert out["n_bytes"] == 15
+
+
+def test_pil_resampler_contract(fake_pil):
+    fn = A.pil_resampler(fmt="PNG")
+    assert fn(b"IMG:64x32:\x10", 16, 8) == b"RESIZED:16x8:PNG"
+    # bomb and undecodable inputs pass through byte-identically (the
+    # operator's no-resampler default), never raise
+    bomb = A.pil_resampler(max_pixels=100)(b"IMG:1000x1000:\x10", 8, 8)
+    assert bomb == b"IMG:1000x1000:\x10"
+    assert A.pil_resampler()(b"junk", 8, 8) == b"junk"
+
+
+def test_pil_decoder_drives_extract_features_batch_loop(fake_pil):
+    """The seam contract the operator relies on: decoder output keys match
+    FEATURE_SCHEMA's feature fields exactly (driver-side check — the stub
+    only exists in this process; real-cluster use ships Pillow)."""
+    from wordscape_spark.operators.multimodal import FEATURE_SCHEMA
+
+    out = A.pil_feature_decoder()(b"IMG:4x2:\x10\x20")
+    feature_fields = {
+        f.name for f in FEATURE_SCHEMA.fields
+        if f.name not in ("doc_id", "media_ref")
+    }
+    assert set(out) == feature_fields
+
+
+def test_pil_seam_end_to_end(spark):
+    pytest.importorskip("PIL")
+    from wordscape_spark.operators.multimodal import (
+        extract_features,
+        resize_media,
+    )
+
+    import io
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 16), (100, 150, 200)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [("d1", "m1", bytearray(png), "png", 32, 16)],
+        "doc_id string, media_ref string, content binary, fmt string, "
+        "width int, height int",
+    )
+    feats = extract_features(df, decoder=A.pil_feature_decoder()).first()
+    assert feats["phash"] not in ("bomb", "decode_error")
+    resized = resize_media(df, max_dim=8, resampler=A.pil_resampler()).first()
+    out = Image.open(io.BytesIO(bytes(resized["content"])))
+    assert out.size == (8, 4)

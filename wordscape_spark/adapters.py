@@ -13,7 +13,12 @@ production user has:
 * a KenLM ``.arpa``/``.bin`` n-gram model — the reference scores
   language-matched documents with ``kenlm.Model`` and the
   ``10^(−Σ log10 p / N)`` perplexity formula (reference:
-  app/src/quality/perplexity.py:13-55).
+  app/src/quality/perplexity.py:13-55);
+* Pillow image decode — the reference decodes page/embedded images with
+  PIL behind a decompression-bomb gate
+  (app/src/annotation/utils/zip_bomb.py:63-131); here it backs the
+  multimodal seams ``extract_features(decoder=…)`` /
+  ``resize_media(resampler=…)``.
 
 Both adapters return ``functools.partial`` over MODULE-LEVEL functions, so
 they pickle by reference (no model object ever crosses the driver→executor
@@ -185,3 +190,100 @@ def oleid_indicators(names: tuple = OLEID_FATAL):
     ``maldoc_check(indicators=…, indicator_names=list(names))`` backed by
     real oletools OleID (lazy-imported per executor)."""
     return functools.partial(_oleid_check, names=tuple(names))
+
+
+# ---------------------------------------------------------------------------
+# PIL image decode: features + resize, with a decompression-bomb gate
+# ---------------------------------------------------------------------------
+
+# PIL's own MAX_IMAGE_PIXELS default (≈89.5 MPx × 2) — the same class of
+# pixel-count gate the reference applies per image before touching pixels
+# (reference: app/src/annotation/utils/zip_bomb.py:63-131)
+PIL_MAX_PIXELS = 178_956_970
+
+
+def _load_pil():
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - exercised via stub
+        raise ImportError(
+            "Pillow is required for pil_feature_decoder / pil_resampler — "
+            "`pip install Pillow`; without it the engine's deterministic "
+            "byte-level surrogates still work"
+        ) from e
+    return Image
+
+
+def _pil_features(content: bytes, max_pixels: int) -> dict:
+    """Real decode → the FEATURE_SCHEMA contract {n_bytes, byte_mean,
+    phash}: byte_mean becomes the mean GRAYSCALE PIXEL value, phash a
+    64-bit average-hash (8×8 downsample, mean threshold) hex string.
+
+    Per-image fail-CLOSED markers, never task failures (the seam runs
+    inside a mapInPandas batch loop): a decompression bomb — pixel count
+    over ``max_pixels``, checked on the HEADER before any pixel decode,
+    the reference's zip_bomb.py:63-131 gate — yields phash 'bomb'; an
+    undecodable payload yields phash 'decode_error'; both with
+    byte_mean = -1.0 so downstream filters drop them by predicate."""
+    import io
+
+    image_mod = _load_pil()
+    n = len(content)
+    try:
+        im = image_mod.open(io.BytesIO(content))
+        w, h = im.size
+        if w * h > max_pixels:
+            return {"n_bytes": n, "byte_mean": -1.0, "phash": "bomb"}
+        gray = im.convert("L")
+        pixels = list(gray.getdata())
+        small = list(gray.resize((8, 8)).getdata())
+        mean = sum(small) / 64.0
+        bits = 0
+        for px in small:
+            bits = (bits << 1) | (1 if px >= mean else 0)
+        return {
+            "n_bytes": n,
+            "byte_mean": (
+                round(sum(pixels) / len(pixels), 6) if pixels else 0.0
+            ),
+            "phash": f"{bits:016x}",
+        }
+    except Exception:
+        return {"n_bytes": n, "byte_mean": -1.0, "phash": "decode_error"}
+
+
+def pil_feature_decoder(max_pixels: int = PIL_MAX_PIXELS):
+    """A picklable decoder for ``extract_features(decoder=…)`` backed by
+    real PIL decode (lazy-imported per executor) with the decompression-
+    bomb gate applied before pixel access."""
+    return functools.partial(_pil_features, max_pixels=max_pixels)
+
+
+def _pil_resample(
+    content: bytes, out_w: int, out_h: int, fmt: str, max_pixels: int
+) -> bytes:
+    """Real pixel resample for ``resize_media(resampler=…)``.  Fail-closed
+    pass-through on bomb/undecodable input — byte-identical to the
+    operator's no-resampler default, so a poisoned image degrades to the
+    metadata-only path instead of failing the task."""
+    import io
+
+    image_mod = _load_pil()
+    try:
+        im = image_mod.open(io.BytesIO(content))
+        w, h = im.size
+        if w * h > max_pixels:
+            return bytes(content)
+        buf = io.BytesIO()
+        im.resize((max(1, int(out_w)), max(1, int(out_h)))).save(
+            buf, format=fmt
+        )
+        return buf.getvalue()
+    except Exception:
+        return bytes(content)
+
+
+def pil_resampler(fmt: str = "PNG", max_pixels: int = PIL_MAX_PIXELS):
+    """A picklable resampler for ``resize_media(resampler=…)`` backed by
+    real PIL ``Image.resize`` (lazy-imported per executor)."""
+    return functools.partial(_pil_resample, fmt=fmt, max_pixels=max_pixels)

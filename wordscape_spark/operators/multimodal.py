@@ -6,7 +6,10 @@ The reference ships page images and embedded media in tar shards
 Bytes in the sandbox are deterministic pseudo-payloads derived from
 media_ref; real decode (PIL/ffmpeg) is stubbed behind ``decode_real=True``
 (NotImplementedError) while the Spark-side plumbing — schema, Arrow batch
-shape, mapInPandas feature extraction — is real and tested.
+shape, mapInPandas feature extraction — is real and tested.  On hosts
+with Pillow, ``adapters.pil_feature_decoder()`` / ``adapters.
+pil_resampler()`` plug real decode (with the reference's decompression-
+bomb gate, zip_bomb.py:63-131) into the ``decoder=``/``resampler=`` seams.
 """
 
 from __future__ import annotations
