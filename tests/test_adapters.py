@@ -362,3 +362,61 @@ def test_pil_seam_end_to_end(spark):
     resized = resize_media(df, max_dim=8, resampler=A.pil_resampler()).first()
     out = Image.open(io.BytesIO(bytes(resized["content"])))
     assert out.size == (8, 4)
+
+
+# --- SentencePiece tokenize-before-KenLM ------------------------------------
+
+
+@pytest.fixture
+def fake_sentencepiece(monkeypatch):
+    class _SP:
+        def load(self, path):
+            self.path = path
+
+        def encode_as_pieces(self, text):
+            return ["▁" + w for w in text.split()]
+
+    mod = types.ModuleType("sentencepiece")
+    mod.SentencePieceProcessor = _SP
+    monkeypatch.setitem(sys.modules, "sentencepiece", mod)
+    A._SP_CACHE.clear()
+    yield mod
+    A._SP_CACHE.clear()
+
+
+@pytest.fixture
+def recording_kenlm(monkeypatch):
+    seen = []
+
+    class _Model:
+        def __init__(self, path):
+            pass
+
+        def perplexity(self, text):
+            seen.append(text)
+            return 42.0
+
+    mod = types.ModuleType("kenlm")
+    mod.Model = _Model
+    monkeypatch.setitem(sys.modules, "kenlm", mod)
+    A._KENLM_CACHE.clear()
+    yield seen
+    A._KENLM_CACHE.clear()
+
+
+def test_kenlm_scores_sentencepiece_pieces(fake_sentencepiece, recording_kenlm):
+    """With sp_model set, KenLM must receive the space-joined pieces, not
+    raw text — the reference's tokenize-then-score order
+    (quality/perplexity.py:26-38)."""
+    fn = A.kenlm_scorer("/m/en.bin", sp_model="/m/en.sp.model")
+    assert fn("the cat sat", "en") == 42.0
+    assert recording_kenlm == ["▁the ▁cat ▁sat"]
+    # language gate still short-circuits BEFORE tokenization
+    assert fn("der hund", "de") == 0.0
+    assert len(recording_kenlm) == 1
+
+
+def test_kenlm_raw_text_without_sp_model(recording_kenlm):
+    fn = A.kenlm_scorer("/m/en.bin")
+    fn("plain text path", "en")
+    assert recording_kenlm == ["plain text path"]

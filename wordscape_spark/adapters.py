@@ -44,6 +44,7 @@ import functools
 
 _FASTTEXT_CACHE: dict[str, object] = {}
 _KENLM_CACHE: dict[str, object] = {}
+_SP_CACHE: dict[str, object] = {}
 
 
 # ---------------------------------------------------------------------------
@@ -118,22 +119,58 @@ def _load_kenlm(path: str):
     return model
 
 
-def _kenlm_score(text: str, lang: str, path: str, match_lang: str) -> float:
+def _load_sentencepiece(path: str):
+    sp = _SP_CACHE.get(path)
+    if sp is None:
+        try:
+            import sentencepiece
+        except ImportError as e:  # pragma: no cover - exercised via stub
+            raise ImportError(
+                "sentencepiece is required when kenlm_scorer is given an "
+                "sp_model — `pip install sentencepiece`; KenLM models "
+                "trained on SentencePiece pieces (the reference's, "
+                "perplexity.py:26-38) mis-score raw text"
+            ) from e
+        sp = sentencepiece.SentencePieceProcessor()
+        sp.load(path)
+        _SP_CACHE[path] = sp
+    return sp
+
+
+def _kenlm_score(
+    text: str,
+    lang: str,
+    path: str,
+    match_lang: str,
+    sp_path: str | None = None,
+) -> float:
     """(text, lang) → perplexity, scored only for the model's language —
     the reference applies each model to matching-language docs only
-    (pp_compute_perplexity.py:27-43).  ``kenlm.Model.perplexity`` computes
-    the reference formula ``10^(−Σ log10 p / N)`` natively."""
+    (pp_compute_perplexity.py:27-43).  When ``sp_path`` is given, the text
+    is SentencePiece-tokenized first (pieces joined by spaces), matching
+    the reference's tokenize-then-score pipeline (perplexity.py:26-38) —
+    a KenLM model trained on pieces must never see raw text.
+    ``kenlm.Model.perplexity`` computes the reference formula
+    ``10^(−Σ log10 p / N)`` natively."""
     if lang != match_lang:
         return 0.0
     if not text:
         return 0.0
+    if sp_path:
+        text = " ".join(_load_sentencepiece(sp_path).encode_as_pieces(text))
     return round(float(_load_kenlm(path).perplexity(text)), 6)
 
 
-def kenlm_scorer(path: str, match_lang: str = "en"):
+def kenlm_scorer(
+    path: str, match_lang: str = "en", sp_model: str | None = None
+):
     """A picklable scorer for ``with_perplexity(scorer=…)`` backed by a
-    real KenLM model lazy-loaded once per executor."""
-    return functools.partial(_kenlm_score, path=path, match_lang=match_lang)
+    real KenLM model lazy-loaded once per executor; pass ``sp_model`` (a
+    SentencePiece .model path) when the LM was trained on pieces — the
+    reference always does (quality/perplexity.py:26-38)."""
+    return functools.partial(
+        _kenlm_score, path=path, match_lang=match_lang, sp_path=sp_model
+    )
 
 
 # ---------------------------------------------------------------------------
