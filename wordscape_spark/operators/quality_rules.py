@@ -95,9 +95,15 @@ def _dup_line_stats(lines_col: str) -> str:
 
 
 def word_metrics(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Per-row word/line composition + dup-line metrics (no shuffle)."""
+    """Per-row word/line composition + dup-line metrics (no shuffle).
+
+    ``keep_cols`` passes extra input columns through unchanged, so a
+    pipeline can gate on the metrics without a join back to the corpus."""
     words = F.expr("filter(split(lower(t), '\\\\s+'), w -> w != '')")
     lines = F.expr("filter(split(t, '\\n'), l -> l != '')")
     out = (
@@ -105,6 +111,7 @@ def word_metrics(
             F.col(id_col).alias("doc_id"),
             # NULL text must yield zero metrics, not NULL-poisoned rows
             F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+            *keep_cols,
         )
         .withColumn("words", words)
         .withColumn("lines", lines)
@@ -274,14 +281,16 @@ def gopher_quality(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_words: int = 10,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """All metrics + the conjunctive ``gopher_pass`` flag.
 
     Fully per-row: every metric (including the dup-line pair) is computed
     in one projection over the document's own word/line arrays — zero
     Exchange in the physical plan (pinned by
-    test_gopher_plan_zero_exchange)."""
-    out = word_metrics(df, text_col=text_col, id_col=id_col)
+    test_gopher_plan_zero_exchange).  ``keep_cols`` rides through, so a
+    pipeline can ``filter("gopher_pass")`` with no join back."""
+    out = word_metrics(df, text_col=text_col, id_col=id_col, keep_cols=keep_cols)
     return out.withColumn(
         "gopher_pass",
         (F.col("n_words") >= min_words)

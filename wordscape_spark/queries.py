@@ -145,6 +145,28 @@ def q_wat_doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return U.with_url_hash(df).select("record_uri", "url", "url_hash")
 
 
+def q_acquire_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-B HTTP acquisition (the reference's download worker,
+    download_process.py:237-381): HEAD content-type/content-length gates,
+    GET, body-size re-gate, per-URL audit rows.  Runs over the
+    deterministic demo transport (this sandbox has no network), whose
+    responses are a fixed function of md5(url) — the oracle rederives
+    every gate outcome and the body md5 relationally, so the gate logic
+    itself is under rows+schema+hash check."""
+    from wordscape_spark.sources import http as HT
+
+    df = _docs(spark, sf_dir).select(F.expr(_URL).alias("url"))
+    out = HT.acquire_documents(df, HT.demo_fetcher)
+    return out.select(
+        "url",
+        "status_code",
+        "content_type",
+        "content_length",
+        "exception",
+        F.md5("content").alias("body_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text operators
 # ---------------------------------------------------------------------------
@@ -244,6 +266,54 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_duplicate_pairs(corpus, threshold=0.5)
     clusters = D.duplicate_clusters(pairs)
     return D.keep_cluster_representatives(corpus, clusters).select("doc_id")
+
+
+def _funnel_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies (every 50th) ∪ near-dup mutations (every
+    70th, two words appended) — every curation stage has real work."""
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "lang", "text"
+    )
+    copies = d.filter("doc_id % 50 = 0").select(
+        F.expr("CAST(doc_id + 100000 AS STRING)").alias("doc_id"),
+        "lang",
+        "text",
+    )
+    muts = d.filter("doc_id % 70 = 0").select(
+        F.expr("CAST(doc_id + 200000 AS STRING)").alias("doc_id"),
+        "lang",
+        F.expr("concat(text, ' the end')").alias("text"),
+    )
+    return base.unionByName(copies).unionByName(muts)
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation job as one plan (plans/curate.py): Gopher gates →
+    exact dedup → MinHash near-dedup → stream-decomposed token budget,
+    audited as a per-stage (n_docs, n_tokens) funnel.  The oracle
+    rederives every stage relationally — quality metrics, string-min
+    exact-dedup winners, the banded-LSH + transitive-closure clustering,
+    and the (lang, stream) budget window."""
+    from wordscape_spark.plans import curate as CU
+
+    stages = CU.curate(
+        _funnel_corpus(spark, sf_dir), budget_per_lang=2_000, n_streams=4
+    )
+    return CU.funnel(stages)
+
+
+def q_curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level pin of the same chain: the exact surviving (doc_id, lang,
+    tokens, cum_tokens) set after all four curation stages."""
+    from wordscape_spark.plans import curate as CU
+
+    stages = CU.curate(
+        _funnel_corpus(spark, sf_dir), budget_per_lang=2_000, n_streams=4
+    )
+    return stages["token_budget"].select(
+        "doc_id", "lang", "tokens", F.col("cum_tokens").cast("long").alias("cum_tokens")
+    )
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1224,6 +1294,81 @@ def _metrics_select_duck(col: str) -> str:
     )
 
 
+def _gopher_duck_ctes(src: str) -> str:
+    """DuckDB CTE chain (spliced after WITH) computing the Gopher metric
+    battery + gopher_pass per doc of relation ``src`` — an independent
+    relational re-derivation of operators/quality_rules.py (the dup-line
+    pair via group-by, where Spark uses the in-row run-length scan)."""
+    stopset = ", ".join(f"'{s}'" for s in
+                        ("the", "be", "to", "of", "and", "that", "have",
+                         "with"))
+    return f"""
+    gq_base AS (
+      SELECT doc_id, text AS t,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         w -> w <> '') AS words,
+             list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
+      FROM {src}
+    ),
+    gq_wm AS (
+      SELECT doc_id,
+        CAST(len(words) AS BIGINT) AS n_words,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        round(CASE WHEN len(words) > 0 THEN
+          CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+            / len(words) ELSE 0.0 END, 6) AS mean_word_len,
+        CAST(len(list_filter(words,
+          w -> list_contains([{stopset}], w))) AS BIGINT)
+          AS stop_word_count,
+        round(CASE WHEN len(words) > 0 THEN
+          CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+            AS DOUBLE) / len(words) ELSE 0.0 END, 6) AS alpha_word_frac,
+        round(CASE WHEN len(words) > 0 THEN
+          ((length(t) - length(replace(t, '#', '')))
+           + (length(t) - length(replace(t, '...', ''))) // 3
+           + (length(t) - length(replace(t, '…', ''))))
+          / CAST(len(words) AS DOUBLE) ELSE 0.0 END, 6)
+          AS symbol_word_ratio,
+        round(CASE WHEN len(lines) > 0 THEN
+          CAST(len(list_filter(lines,
+            l -> regexp_matches(l, '^\\s*[•\\-\\*]'))) AS DOUBLE)
+            / len(lines) ELSE 0.0 END, 6) AS bullet_line_frac,
+        round(CASE WHEN len(lines) > 0 THEN
+          CAST(len(list_filter(lines,
+            l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)
+            / len(lines) ELSE 0.0 END, 6) AS ellipsis_line_frac
+      FROM gq_base
+    ),
+    gq_lc AS (
+      SELECT doc_id, line, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(lines) AS line FROM gq_base)
+      GROUP BY doc_id, line
+    ),
+    gq_dl AS (
+      SELECT doc_id,
+        round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+              / CAST(sum(cnt) AS DOUBLE), 6) AS dup_line_frac,
+        round(sum(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END)
+              / CAST(sum(cnt * length(line)) AS DOUBLE), 6)
+          AS dup_line_char_frac
+      FROM gq_lc GROUP BY doc_id
+    ),
+    gq AS (
+      SELECT gq_wm.doc_id, n_words, n_lines, mean_word_len, stop_word_count,
+           alpha_word_frac, symbol_word_ratio, bullet_line_frac,
+           ellipsis_line_frac,
+           coalesce(dup_line_frac, 0.0) AS dup_line_frac,
+           coalesce(dup_line_char_frac, 0.0) AS dup_line_char_frac,
+           (n_words >= 10 AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+            AND stop_word_count >= 2
+            AND coalesce(dup_line_frac, 0.0) <= 0.3
+            AND coalesce(dup_line_char_frac, 0.0) <= 0.2) AS gopher_pass
+      FROM gq_wm LEFT JOIN gq_dl ON gq_wm.doc_id = gq_dl.doc_id
+    )"""
+
+
 def build_oracle_sql() -> dict[str, str]:
     from wordscape_spark import golden as G
 
@@ -1428,7 +1573,7 @@ def build_oracle_sql() -> dict[str, str]:
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT doc_a, doc_b FROM (
         SELECT c.doc_a, c.doc_b,
                round(CASE WHEN len(list_distinct(sa.sh || sb.sh)) = 0 THEN 0.0
@@ -1449,7 +1594,7 @@ def build_oracle_sql() -> dict[str, str]:
       UNION
       SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
     ),
-    clusters AS (
+    clusters AS MATERIALIZED (
       SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
     )
     SELECT doc_id FROM corpus
@@ -1457,6 +1602,111 @@ def build_oracle_sql() -> dict[str, str]:
       SELECT doc_id FROM clusters WHERE doc_id != cluster_id
     )
     """
+
+    # full curation chain (plans/curate.py): corpus with planted exact +
+    # near duplicates → gopher gate → string-min exact dedup (GROUP BY the
+    # text itself — independent of the engine's sha2 bytehash) → the
+    # dedup_pipeline LSH/closure formulation over survivors → the
+    # (lang, stream) budget window.  One WITH block, two oracles.
+    _tok_ws = T.token_exprs("text", "duckdb")["tokens_ws"]
+    funnel_cte = f"""
+    WITH RECURSIVE corpus0 AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT CAST(doc_id + 100000 AS VARCHAR) AS doc_id, lang, text
+      FROM documents WHERE doc_id % 50 = 0
+      UNION ALL
+      SELECT CAST(doc_id + 200000 AS VARCHAR) AS doc_id, lang,
+             text || ' the end' AS text
+      FROM documents WHERE doc_id % 70 = 0
+    ),
+    corpus AS (
+      SELECT doc_id, lang, text, {_tok_ws} AS tokens FROM corpus0
+    ),
+    {_gopher_duck_ctes("corpus")},
+    quality AS (
+      SELECT c.* FROM corpus c JOIN gq USING (doc_id) WHERE gq.gopher_pass
+    ),
+    exact AS (
+      SELECT * FROM quality
+      WHERE doc_id IN (SELECT min(doc_id) FROM quality GROUP BY text)
+    ),
+    shs AS (SELECT doc_id, {sh} AS sh FROM exact),
+    sig AS (SELECT doc_id, sh, {mh_select} FROM shs),
+    bands AS (
+      {bands_union}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM (
+        SELECT c.doc_a, c.doc_b,
+               round(CASE WHEN len(list_distinct(sa.sh || sb.sh)) = 0 THEN 0.0
+                     ELSE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                          len(list_distinct(sa.sh || sb.sh)) END, 6) AS jaccard
+        FROM cand c
+        JOIN shs sa ON sa.doc_id = c.doc_a
+        JOIN shs sb ON sb.doc_id = c.doc_b
+      ) WHERE jaccard >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    clusters AS MATERIALIZED (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+    ),
+    near AS (
+      SELECT * FROM exact
+      WHERE doc_id NOT IN (
+        SELECT doc_id FROM clusters WHERE doc_id != cluster_id
+      )
+    ),
+    toks AS (
+      SELECT doc_id, lang, tokens,
+             {SH.stream_expr('doc_id', 4, 'duckdb')} AS stream
+      FROM near
+    ),
+    cum AS (
+      SELECT doc_id, lang, tokens,
+             CAST(sum(tokens) OVER (
+               PARTITION BY lang, stream ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM toks
+    ),
+    budget AS (SELECT * FROM cum WHERE cum_tokens <= 500)
+    """
+
+    def _funnel_row(i: int, name: str, rel: str) -> str:
+        return (
+            f"SELECT CAST({i} AS INT) AS stage_order, '{name}' AS stage, "
+            f"count(*) AS n_docs, "
+            f"CAST(coalesce(sum(tokens), 0) AS BIGINT) AS n_tokens "
+            f"FROM {rel}"
+        )
+
+    oracles["curation_funnel"] = funnel_cte + "\n    UNION ALL\n    ".join(
+        _funnel_row(i, name, rel)
+        for i, (name, rel) in enumerate(
+            (("input", "corpus"), ("quality", "quality"),
+             ("exact_dedup", "exact"), ("near_dedup", "near"),
+             ("token_budget", "budget"))
+        )
+    )
+
+    oracles["curation_survivors"] = (
+        funnel_cte + "SELECT doc_id, lang, tokens, cum_tokens FROM budget"
+    )
 
     # decontamination — identical word-8-gram formulation, DuckDB dialect
     oracles["contamination"] = """
@@ -1533,7 +1783,7 @@ def build_oracle_sql() -> dict[str, str]:
          ) ORDER BY s DESC, ci ASC LIMIT 1) AS cell
       FROM e
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
       FROM assigned a JOIN assigned b
         ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -1549,7 +1799,7 @@ def build_oracle_sql() -> dict[str, str]:
       UNION
       SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
     ),
-    clusters AS (
+    clusters AS MATERIALIZED (
       SELECT a AS vec_id, least(a, min(b)) AS cluster_id
       FROM reach GROUP BY a
     )
@@ -1822,73 +2072,17 @@ def build_oracle_sql() -> dict[str, str]:
     """
 
     # Gopher quality rules — identical formulation, DuckDB dialect
-    stopset = ", ".join(f"'{s}'" for s in
-                        ("the", "be", "to", "of", "and", "that", "have",
-                         "with"))
-    oracles["gopher_quality"] = f"""
-    WITH base AS (
-      SELECT doc_id, text AS t,
-             list_filter(string_split_regex(lower(text), '\\s+'),
-                         w -> w <> '') AS words,
-             list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
-      FROM documents
-    ),
-    wm AS (
-      SELECT doc_id,
-        CAST(len(words) AS BIGINT) AS n_words,
-        CAST(len(lines) AS BIGINT) AS n_lines,
-        round(CASE WHEN len(words) > 0 THEN
-          CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
-            / len(words) ELSE 0.0 END, 6) AS mean_word_len,
-        CAST(len(list_filter(words,
-          w -> list_contains([{stopset}], w))) AS BIGINT)
-          AS stop_word_count,
-        round(CASE WHEN len(words) > 0 THEN
-          CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
-            AS DOUBLE) / len(words) ELSE 0.0 END, 6) AS alpha_word_frac,
-        round(CASE WHEN len(words) > 0 THEN
-          ((length(t) - length(replace(t, '#', '')))
-           + (length(t) - length(replace(t, '...', ''))) // 3
-           + (length(t) - length(replace(t, '…', ''))))
-          / CAST(len(words) AS DOUBLE) ELSE 0.0 END, 6)
-          AS symbol_word_ratio,
-        round(CASE WHEN len(lines) > 0 THEN
-          CAST(len(list_filter(lines,
-            l -> regexp_matches(l, '^\\s*[•\\-\\*]'))) AS DOUBLE)
-            / len(lines) ELSE 0.0 END, 6) AS bullet_line_frac,
-        round(CASE WHEN len(lines) > 0 THEN
-          CAST(len(list_filter(lines,
-            l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS DOUBLE)
-            / len(lines) ELSE 0.0 END, 6) AS ellipsis_line_frac
-      FROM base
-    ),
-    lc AS (
-      SELECT doc_id, line, count(*) AS cnt
-      FROM (SELECT doc_id, unnest(lines) AS line FROM base)
-      GROUP BY doc_id, line
-    ),
-    dl AS (
-      SELECT doc_id,
-        round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
-              / CAST(sum(cnt) AS DOUBLE), 6) AS dup_line_frac,
-        round(sum(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END)
-              / CAST(sum(cnt * length(line)) AS DOUBLE), 6)
-          AS dup_line_char_frac
-      FROM lc GROUP BY doc_id
-    )
-    SELECT wm.doc_id, n_words, n_lines, mean_word_len, stop_word_count,
+    # (CTE chain factored into _gopher_duck_ctes, shared with the
+    # curation_funnel oracle)
+    oracles["gopher_quality"] = (
+        "WITH " + _gopher_duck_ctes("documents") + """
+    SELECT doc_id, n_words, n_lines, mean_word_len, stop_word_count,
            alpha_word_frac, symbol_word_ratio, bullet_line_frac,
-           ellipsis_line_frac,
-           coalesce(dup_line_frac, 0.0) AS dup_line_frac,
-           coalesce(dup_line_char_frac, 0.0) AS dup_line_char_frac,
-           (n_words >= 10 AND mean_word_len BETWEEN 3.0 AND 10.0
-            AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
-            AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
-            AND stop_word_count >= 2
-            AND coalesce(dup_line_frac, 0.0) <= 0.3
-            AND coalesce(dup_line_char_frac, 0.0) <= 0.2) AS gopher_pass
-    FROM wm LEFT JOIN dl ON wm.doc_id = dl.doc_id
+           ellipsis_line_frac, dup_line_frac, dup_line_char_frac,
+           gopher_pass
+    FROM gq
     """
+    )
 
     # winnowing fingerprints — identical formulation, DuckDB dialect
     # (md5-prefix hash parity with Spark's conv() verified; (hash, pos)
@@ -2120,6 +2314,36 @@ def build_oracle_sql() -> dict[str, str]:
     FROM read_parquet('{_wat_truth}')
     WHERE rec_type = 'metadata'
       AND regexp_matches(url, '{_WAT_PAT}')
+    """
+
+    # Stage-B acquisition over the demo transport: every response is a
+    # fixed function of md5(url) (sources/http.py demo_fetcher), so HEAD
+    # gates, GET status, body length, and body md5 all rederive in SQL
+    oracles["acquire_http"] = f"""
+    WITH u AS (
+      SELECT {_URL_DUCK} AS url FROM documents
+    ), s AS (
+      SELECT url, md5(url) AS seed,
+             (('0x' || substr(md5(url), 1, 8))::BIGINT) AS h
+      FROM u
+    ), g AS (
+      SELECT url, seed, h, 64 + (h % 2048) AS n FROM s
+    )
+    SELECT
+      url,
+      CAST(CASE WHEN h % 7 = 2 THEN 404 ELSE 200 END AS INT) AS status_code,
+      CASE WHEN h % 7 = 2 THEN NULL
+           WHEN h % 4 = 0 THEN 'text/html'
+           ELSE 'application/msword' END AS content_type,
+      CAST(CASE WHEN h % 7 = 2 OR h % 4 = 0 THEN NULL ELSE n
+           END AS BIGINT) AS content_length,
+      CASE WHEN h % 7 = 2 THEN 'http_404'
+           WHEN h % 4 = 0 THEN 'invalid_content_type'
+           ELSE NULL END AS exception,
+      CASE WHEN h % 7 = 2 OR h % 4 = 0 THEN NULL
+           ELSE md5(substr(repeat(seed, CAST(n // 32 AS INT) + 1), 1,
+                           CAST(n AS INT))) END AS body_md5
+    FROM g
     """
     oracles["extract_spans"] = f"""
     SELECT doc_id, CAST("offset" AS INT) AS "offset", kind, text, media_ref,
@@ -2558,6 +2782,9 @@ QUERIES = {
     # --- new in r6 ---
     "doc_builtin_ingest": q_doc_builtin_ingest,
     "doc_style_roundtrip": q_doc_style_roundtrip,
+    "acquire_http": q_acquire_http,
+    "curation_funnel": q_curation_funnel,
+    "curation_survivors": q_curation_survivors,
     # --- last driver row is r4: due this round ---
     "langid_file_model": q_langid_file_model,
     "perplexity_arpa": q_perplexity_arpa,
