@@ -139,6 +139,14 @@ def test_acquire_documents_plan_has_no_exchange(spark):
     assert "Exchange" not in plan
 
 
+def test_acquire_concurrent_equals_sequential(spark):
+    # the thread-pool path must be an order/content no-op vs sequential
+    df = spark.range(48).selectExpr("concat('http://x/', id) AS url")
+    seq = H.acquire_documents(df, H.demo_fetcher).toPandas()
+    par = H.acquire_documents(df, H.demo_fetcher, max_concurrency=8).toPandas()
+    assert seq.equals(par)
+
+
 def test_acquire_documents_fault_isolation(spark):
     # a fetcher that dies on half the URLs must still yield one row per URL
     def flaky(url, method):

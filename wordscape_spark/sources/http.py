@@ -130,21 +130,48 @@ def acquire_documents(
     fetcher,
     url_col: str = "url",
     max_filesize: int = MAX_FILESIZE,
+    max_concurrency: int = 1,
 ) -> DataFrame:
     """(urls) → one audit row per URL with the fetched bytes on success.
 
     ``fetcher(url, method)`` → ``(status, headers, body|None)`` is the
     injectable transport; see module docstring.  Zero shuffle; IO
-    parallelism = input partition count."""
+    parallelism = input partition count × ``max_concurrency``: the fetch
+    is latency-bound, so each task additionally overlaps up to
+    ``max_concurrency`` in-flight requests with a thread pool (the moral
+    analog of the reference's per-worker session reuse +
+    multiprocessing pool, download_process.py:237-263) — row order and
+    content are identical to the sequential path (order-preserving map;
+    pinned by test)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = [
-                _acquire_one(url, fetcher, max_filesize)
-                for url in pdf[url_col]
-            ]
-            if rows:
-                yield pd.DataFrame(rows)
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = (
+            ThreadPoolExecutor(max_workers=max_concurrency)
+            if max_concurrency > 1
+            else None
+        )
+        try:
+            for pdf in batches:
+                urls = list(pdf[url_col])
+                if pool is not None:
+                    rows = list(
+                        pool.map(
+                            lambda u: _acquire_one(u, fetcher, max_filesize),
+                            urls,
+                        )
+                    )
+                else:
+                    rows = [
+                        _acquire_one(url, fetcher, max_filesize)
+                        for url in urls
+                    ]
+                if rows:
+                    yield pd.DataFrame(rows)
+        finally:
+            if pool is not None:
+                pool.shutdown()
 
     return df.mapInPandas(run, schema=ACQUIRE_SCHEMA)
 
