@@ -343,3 +343,71 @@ def test_token_budget_streams(spark):
     )
     assert "SinglePartition" not in plan
     assert "hashpartitioning(lang" in plan and "_tb_stream" in plan
+
+
+def test_url_quality_filter_hand_values(spark):
+    from wordscape_spark.operators import urls as U
+
+    rows = [
+        ("blocked", "https://casino-winners.example/doc1.docx"),
+        ("strict", "https://www.files.example/free-porn-1.docx"),
+        ("two_soft", "http://my-site.example/adult/webcam-1.docx"),
+        ("one_soft", "https://shop.example/pills-1.docx"),
+        ("clean", "https://example.com/clean/1.docx"),
+        ("upper", "HTTPS://WWW.SHOP.EXAMPLE/VIAGRA.docx"),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "k string, url string")
+    out = {r["k"]: r.asDict()
+           for r in U.url_quality_filter(df).collect()}
+
+    b = out["blocked"]
+    assert b["domain"] == "casino-winners.example"
+    assert b["blocked_domain"] and not b["url_pass"]
+    # 'casino' also word-matches the blocklisted domain itself
+    assert b["url_score"] == 1.0
+
+    s = out["strict"]
+    assert s["domain"] == "files.example"  # www. stripped
+    assert s["url_score"] == 1.0 and not s["url_pass"]
+
+    assert out["two_soft"]["url_score"] == 1.0  # 0.5 + 0.5 = cutoff
+    assert not out["two_soft"]["url_pass"]
+    assert out["one_soft"]["url_score"] == 0.5
+    assert out["one_soft"]["url_pass"]
+    assert out["clean"]["url_score"] == 0.0 and out["clean"]["url_pass"]
+    # scoring and domain extraction are case-insensitive
+    u = out["upper"]
+    assert u["domain"] == "shop.example" and u["url_score"] == 1.0
+    n = out["null"]
+    assert n["domain"] == "" and not n["blocked_domain"] and n["url_pass"]
+
+
+def test_url_quality_filter_plan_zero_exchange(spark):
+    from wordscape_spark.operators import urls as U
+
+    df = spark.createDataFrame([("https://a.example/x",)], "url string")
+    plan = (U.url_quality_filter(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_url_quality_filter_blocklist_df_matches_literal(spark):
+    from wordscape_spark.operators import urls as U
+
+    urls = [(f"https://{d}/x.docx",) for d in U.DEFAULT_BLOCKLIST]
+    urls += [("https://ok.example/y.docx",), (None,)]
+    df = spark.createDataFrame(urls, "url string")
+    lit = U.url_quality_filter(df).orderBy("url").collect()
+    bl = spark.createDataFrame(
+        [(d,) for d in U.DEFAULT_BLOCKLIST], "domain string"
+    )
+    joined = (U.url_quality_filter(df, blocklist_df=bl)
+              .select(*lit[0].asDict().keys()).orderBy("url").collect())
+    assert [r.asDict() for r in lit] == [r.asDict() for r in joined]
+    # and the join side stays broadcast: no shuffle of the url corpus
+    plan = (U.url_quality_filter(df, blocklist_df=bl)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan

@@ -354,3 +354,110 @@ def test_dup_ngram_coverage_no_shuffle(spark):
     plan = (QR.dup_ngram_coverage(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan  # document-local: mapInPandas only
+
+
+# --- FineWeb/C4 line-shape gates -------------------------------------
+
+
+def _fineweb(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    return {r["doc_id"]: r.asDict()
+            for r in QR.fineweb_quality(df).collect()}
+
+
+def test_fineweb_hand_values(spark):
+    out = _fineweb(spark, [
+        # 3 lines, all punct-terminated and >= 30 chars, 3 sentences
+        ("clean", "This is a perfectly fine opening line of prose.\n"
+                  "It continues with a second full sentence here.\n"
+                  "And it closes with a third complete sentence."),
+        # 1 of 4 lines punct-terminated; 3 of 4 short
+        ("listy", "item one\nitem two\nitem three\n"
+                  "the only real sentence in this document ends here."),
+        ("code", "function f() {\n  return 1;\n}"),
+        ("boiler", "Lorem Ipsum dolor sit amet. And more. And more."),
+        ("empty", ""),
+        ("null", None),
+    ])
+    clean = out["clean"]
+    assert clean["n_lines"] == 3
+    assert clean["punct_line_frac"] == 1.0
+    assert clean["short_line_frac"] == 0.0
+    assert clean["n_sentences"] == 3
+    assert clean["fineweb_pass"]
+
+    listy = out["listy"]
+    assert listy["punct_line_frac"] == 0.25
+    assert listy["short_line_frac"] == 0.75
+    assert not listy["fineweb_pass"]  # short_line_frac > 0.67
+
+    assert out["code"]["has_curly"] and not out["code"]["fineweb_pass"]
+    b = out["boiler"]
+    assert b["has_lorem"] and not b["fineweb_pass"]  # case-insensitive
+
+    for d in ("empty", "null"):
+        e = out[d]
+        assert e["n_lines"] == 0 and e["punct_line_frac"] == 0.0
+        assert e["n_sentences"] == 0 and not e["fineweb_pass"]
+
+
+def test_fineweb_terminal_punct_variants(spark):
+    # quote / curly-apostrophe / trailing-space terminals all count;
+    # comma does not
+    out = _fineweb(spark, [
+        ("quoted", 'He said "stop."\nShe replied ’\nmaybe later,'),
+        ("spaced", "Ends with punct then spaces.   \nno terminal"),
+    ])
+    q = out["quoted"]
+    assert q["punct_line_frac"] == round(2 / 3, 6)
+    s = out["spaced"]
+    assert s["punct_line_frac"] == 0.5  # Java \s*$ crosses the spaces
+
+
+def test_fineweb_plan_zero_exchange(spark):
+    df = spark.createDataFrame([("d", "x.\ny.")],
+                               "doc_id string, text string")
+    plan = (QR.fineweb_quality(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_fineweb_fuzz_vs_python(spark):
+    """Differential: the Spark expressions vs an independent pure-Python
+    reimplementation over adversarial small docs."""
+    import random
+    import re
+
+    rng = random.Random(606)
+    vocab = ["word", "line.", "x", "{", "lorem ipsum", "Ok!", "why?",
+             "end’", "a" * 35 + ".", "", " ", "no stop"]
+    docs = []
+    for i in range(60):
+        n = rng.randrange(0, 8)
+        docs.append((f"d{i}", "\n".join(
+            " ".join(rng.choice(vocab)
+                     for _ in range(rng.randrange(0, 5)))
+            for _ in range(n))))
+
+    def py_row(text):
+        t = text or ""
+        lines = [l for l in t.split("\n") if l != ""]
+        nl = len(lines)
+        punct = (round(sum(
+            1 for l in lines
+            if re.search(r'[.!?"’]\s*$', l)) / nl, 6) if nl else 0.0)
+        short = (round(sum(1 for l in lines if len(l) < 30) / nl, 6)
+                 if nl else 0.0)
+        return {
+            "n_lines": nl, "punct_line_frac": punct,
+            "short_line_frac": short, "has_curly": "{" in t,
+            "has_lorem": "lorem ipsum" in t.lower(),
+            "n_sentences": len(re.findall(r"[.!?]+", t)),
+        }
+
+    got = _fineweb(spark, docs)
+    for doc_id, text in docs:
+        want = py_row(text)
+        for k, v in want.items():
+            assert got[doc_id][k] == v, (doc_id, k, text)

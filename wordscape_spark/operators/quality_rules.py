@@ -305,6 +305,85 @@ def gopher_quality(
     )
 
 
+MIN_PUNCT_LINE_FRAC = 0.12
+MAX_SHORT_LINE_FRAC = 0.67
+SHORT_LINE_CHARS = 30
+MIN_SENTENCES = 3
+
+
+def fineweb_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """FineWeb/C4 document-level gates (Penedo et al. 2024, "The FineWeb
+    Datasets", §3.1 — the C4-derived document filters; Raffel et al.
+    2020 §2.2): terminal-punctuation line fraction ≥ 0.12, short-line
+    (< 30 chars) fraction ≤ 0.67, no '{' (code/JSON boilerplate), no
+    'lorem ipsum', and ≥ 3 sentence-terminal runs.
+
+    Complements ``gopher_quality`` (composition/repetition) with the
+    line-shape gates; all metrics are per-row expressions — zero
+    Exchange.  ``keep_cols`` rides through like gopher_quality's."""
+    lines = F.expr("filter(split(t, '\\n'), l -> l != '')")
+    out = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+            *keep_cols,
+        )
+        .withColumn("lines", lines)
+        .withColumn("n_lines", F.size("lines").cast("long"))
+        .withColumn(
+            "punct_line_frac",
+            F.round(
+                F.when(
+                    F.col("n_lines") > 0,
+                    F.size(
+                        F.expr(
+                            "filter(lines,"
+                            " l -> l rlike '[.!?\"\\u2019]\\\\s*$')"
+                        )
+                    ) / F.col("n_lines"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+        .withColumn(
+            "short_line_frac",
+            F.round(
+                F.when(
+                    F.col("n_lines") > 0,
+                    F.size(
+                        F.expr(
+                            f"filter(lines, l -> length(l) < "
+                            f"{SHORT_LINE_CHARS})"
+                        )
+                    ) / F.col("n_lines"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+        .withColumn("has_curly", F.expr("contains(t, '{')"))
+        .withColumn("has_lorem", F.expr("contains(lower(t), 'lorem ipsum')"))
+        .withColumn(
+            "n_sentences",
+            F.expr("size(regexp_extract_all(t, '[.!?]+', 0))").cast("long"),
+        )
+        .withColumn(
+            "fineweb_pass",
+            (F.col("punct_line_frac") >= MIN_PUNCT_LINE_FRAC)
+            & (F.col("short_line_frac") <= MAX_SHORT_LINE_FRAC)
+            & ~F.col("has_curly")
+            & ~F.col("has_lorem")
+            & (F.col("n_sentences") >= MIN_SENTENCES),
+        )
+        .drop("t", "lines")
+    )
+    return out
+
+
 def line_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     min_df: int = 2,

@@ -137,3 +137,84 @@ def clean_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
             yield s.map(_clean_url)
 
     return df.withColumn("clean_url", clean(F.col(url_col)))
+
+
+# --- RefinedWeb-style URL quality filtering ---------------------------
+#
+# Beyond the reference's .doc-harvest stage A: general pretraining
+# corpora gate documents on the URL itself before fetching anything
+# (RefinedWeb, Penedo et al. 2023 §3.1 + App. G.1): an exact domain
+# blocklist (UT1-style) plus a weighted soft-word score over the whole
+# URL.  Both are per-row expressions — the blocklist compiles to an In
+# predicate (or a broadcast semi-join for big lists), the score to a
+# CASE sum — so the operator is zero-Exchange at any corpus size.
+
+DOMAIN_PATTERN = r"^(?:https?://)?(?:www\.)?([^/:?#]+)"
+
+# mechanism-demonstrating stand-ins for the UT1 adult/spam lists (the
+# real lists are ~4M domains — see url_quality_filter(blocklist_df=...)
+# for the broadcast-join path they'd take)
+DEFAULT_BLOCKLIST: tuple[str, ...] = (
+    "casino-winners.example", "cheap-pills.example",
+    "adult-content.example", "spam-farm.example",
+)
+
+# (word, weight): strict terms score 1.0 alone, ambiguous terms need a
+# co-occurring signal to cross the default 1.0 cutoff
+DEFAULT_URL_WORDS: tuple[tuple[str, float], ...] = (
+    ("porn", 1.0), ("xxx", 1.0), ("viagra", 1.0), ("casino", 1.0),
+    ("escort", 1.0), ("sex", 0.5), ("adult", 0.5), ("gambling", 0.5),
+    ("webcam", 0.5), ("pills", 0.5),
+)
+
+DEFAULT_SCORE_CUTOFF = 1.0
+
+
+def url_quality_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    blocklist: tuple[str, ...] = DEFAULT_BLOCKLIST,
+    words: tuple[tuple[str, float], ...] = DEFAULT_URL_WORDS,
+    score_cutoff: float = DEFAULT_SCORE_CUTOFF,
+    blocklist_df: DataFrame | None = None,
+) -> DataFrame:
+    """(urls) → (url, domain, blocked_domain, url_score, url_pass).
+
+    ``domain`` is the lowercased host with any ``www.`` prefix dropped
+    (regexp, identical semantics in the DuckDB oracle); ``url_score``
+    sums the weights of every word substring-matched against the whole
+    lowercased URL; ``url_pass`` requires no blocklist hit and score
+    < ``score_cutoff``.
+
+    Scale shape: with the in-literal ``blocklist`` the whole operator is
+    one projection (zero Exchange, pinned in test).  For a real UT1-size
+    list pass ``blocklist_df`` (one ``domain`` column): it is broadcast
+    and applied as a left-semi mark — still no corpus shuffle.
+    """
+    lower_url = F.lower(F.coalesce(F.col(url_col), F.lit("")))
+    domain = F.regexp_extract(lower_url, DOMAIN_PATTERN, 1)
+    score = None
+    for word, weight in words:
+        term = F.when(F.contains(lower_url, F.lit(word)),
+                      F.lit(float(weight))).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    out = df.withColumn("domain", domain).withColumn(
+        "url_score", F.round(score if score is not None else F.lit(0.0), 6)
+    )
+    if blocklist_df is not None:
+        hits = F.broadcast(
+            blocklist_df.select(F.col("domain")).distinct()
+            .withColumn("_blocked", F.lit(True))
+        )
+        out = out.join(hits, "domain", "left").withColumn(
+            "blocked_domain", F.coalesce(F.col("_blocked"), F.lit(False))
+        ).drop("_blocked")
+    else:
+        out = out.withColumn(
+            "blocked_domain",
+            F.col("domain").isin(*blocklist) if blocklist else F.lit(False),
+        )
+    return out.withColumn(
+        "url_pass",
+        ~F.col("blocked_domain") & (F.col("url_score") < score_cutoff),
+    )

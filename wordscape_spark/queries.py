@@ -129,6 +129,42 @@ def q_a_filter_doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic URL mix exercising every url_quality_filter gate:
+# blocklisted domain / strict word / two ambiguous words (= cutoff) /
+# one ambiguous word (passes) / clean
+_URLQ_CASES = (
+    ("0", "'https://casino-winners.example/doc', {id}, '.docx'"),
+    ("1", "'https://www.files.example/xxx/free-porn-', {id}, '.docx'"),
+    ("2", "'http://my-site.example/adult/webcam-', {id}, '.docx'"),
+    ("3", "'https://shop.example/pills-', {id}, '.docx'"),
+)
+
+
+def _urlq_expr(concat: str, cast_id: str) -> str:
+    arms = " ".join(
+        f"WHEN {k} THEN {concat}({tpl.format(id=cast_id)})"
+        for k, tpl in _URLQ_CASES
+    )
+    return (
+        f"CASE doc_id % 5 {arms} "
+        f"ELSE {concat}('https://example.com/clean/', {cast_id}, '.docx') END"
+    )
+
+
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style URL gating (Penedo et al. 2023 §3.1, App. G.1):
+    domain extraction, UT1-style blocklist mark, weighted soft-word
+    score — all per-row expressions, zero Exchange (operators/urls.py).
+    Oracle: identical regexp/CASE-sum re-derivation in DuckDB."""
+    df = _docs(spark, sf_dir).withColumn(
+        "url", F.expr(_urlq_expr("concat", "CAST(doc_id AS STRING)"))
+    )
+    return U.url_quality_filter(df).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "url", "domain", "blocked_domain", "url_score", "url_pass",
+    )
+
+
 def q_wat_doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1, un-grafted: real WAT files (Common Crawl layout — WARC/1.0
     framing, per-record gzip members) through the binaryFile+mapInPandas
@@ -156,7 +192,7 @@ def q_acquire_http(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wordscape_spark.sources import http as HT
 
     df = _docs(spark, sf_dir).select(F.expr(_URL).alias("url"))
-    out = HT.acquire_documents(df, HT.demo_fetcher)
+    out = HT.acquire_documents(df, HT.demo_fetcher, max_concurrency=8)
     return out.select(
         "url",
         "status_code",
@@ -479,6 +515,46 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alpha_word_frac", "symbol_word_ratio", "bullet_line_frac",
         "ellipsis_line_frac", "dup_line_frac", "dup_line_char_frac",
         "gopher_pass",
+    )
+
+
+def _fw_text_expr(nl: str) -> str:
+    """The synthetic corpus has no punctuation or newlines, so decorate
+    it deterministically to exercise every FineWeb gate: short punct
+    lines / one long passing paragraph / code braces / lorem ipsum /
+    raw (no terminal punctuation).  ``nl`` is the dialect's newline
+    literal (Spark ``'\\n'``, DuckDB ``chr(10)``)."""
+    return (
+        "CASE doc_id % 5 "
+        f"WHEN 0 THEN replace(text, ' ', concat('.', {nl})) "
+        "WHEN 1 THEN concat(text, '. It ends well. Quite well. Yes.') "
+        "WHEN 2 THEN concat(text, ' if (x) [BRACE] return 1; [UNBRACE]') "
+        "WHEN 3 THEN concat('Lorem ipsum dolor sit. ', text) "
+        "ELSE text END"
+    )
+
+
+def q_fineweb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb/C4 line-shape document gates (Penedo et al. 2024 §3.1;
+    Raffel et al. 2020 §2.2) — terminal-punctuation line fraction,
+    short-line fraction, curly-brace / lorem-ipsum markers, sentence
+    count.  Complements gopher_quality (composition/repetition); all
+    per-row expressions, zero Exchange.  Oracle: the identical gates in
+    DuckDB SQL (dual-dialect, fully independent)."""
+    from wordscape_spark.operators import quality_rules as QR
+
+    df = _docs(spark, sf_dir).withColumn(
+        "t2",
+        F.expr(
+            _fw_text_expr("'\\n'")
+            .replace("[BRACE]", "{").replace("[UNBRACE]", "}")
+        ),
+    )
+    out = QR.fineweb_quality(df, text_col="t2")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_lines", "punct_line_frac", "short_line_frac",
+        "has_curly", "has_lorem", "n_sentences", "fineweb_pass",
     )
 
 
@@ -1482,6 +1558,39 @@ def build_oracle_sql() -> dict[str, str]:
     WHERE regexp_matches(url, '^(www|http:|https:).*[0-9A-Za-z_]\\.docx?$')
     """
 
+    # url_quality_filter — independent DuckDB re-derivation from the
+    # same constants (DOMAIN_PATTERN regex is Java∩RE2-safe; DuckDB's
+    # regexp_extract, like Spark's, yields '' on no-match — verified)
+    from wordscape_spark.operators.urls import (
+        DEFAULT_BLOCKLIST, DEFAULT_SCORE_CUTOFF, DEFAULT_URL_WORDS,
+        DOMAIN_PATTERN,
+    )
+
+    _uq_words = " + ".join(
+        f"CASE WHEN contains(lurl, '{w}') THEN {float(wt)} ELSE 0.0 END"
+        for w, wt in DEFAULT_URL_WORDS
+    )
+    _uq_block = ", ".join(f"'{d}'" for d in DEFAULT_BLOCKLIST)
+    oracles["url_filter"] = f"""
+    WITH u AS (
+      SELECT doc_id,
+             {_urlq_expr("concat", "CAST(doc_id AS VARCHAR)")} AS url
+      FROM documents
+    ), m AS (
+      SELECT doc_id, url, lower(coalesce(url, '')) AS lurl FROM u
+    ), s AS (
+      SELECT doc_id, url,
+             regexp_extract(lurl, '{DOMAIN_PATTERN}', 1) AS domain,
+             round(CAST({_uq_words} AS DOUBLE), 6) AS url_score
+      FROM m
+    )
+    SELECT doc_id, url, domain,
+           (domain IN ({_uq_block})) AS blocked_domain,
+           url_score,
+           (NOT (domain IN ({_uq_block})) AND url_score < {DEFAULT_SCORE_CUTOFF}) AS url_pass
+    FROM s
+    """
+
     oracles["text_metrics"] = (
         "SELECT doc_id, "
         + ", ".join(f"{expr} AS {name}" for name, expr in m.items())
@@ -2083,6 +2192,54 @@ def build_oracle_sql() -> dict[str, str]:
     FROM gq
     """
     )
+
+    # FineWeb/C4 line-shape gates — independent DuckDB re-derivation.
+    # Regex parity: lines are split products (no embedded '\n'), so
+    # Java's '$' (before final terminator) and RE2's '$' (end-of-text)
+    # agree; the char class is spelled identically on both sides.
+    from wordscape_spark.operators.quality_rules import (
+        MAX_SHORT_LINE_FRAC, MIN_PUNCT_LINE_FRAC, MIN_SENTENCES,
+        SHORT_LINE_CHARS,
+    )
+
+    _fw_duck = (
+        _fw_text_expr("chr(10)")
+        .replace("[BRACE]", "' || chr(123) || '")
+        .replace("[UNBRACE]", "' || chr(125) || '")
+    )
+    oracles["fineweb_quality"] = f"""
+    WITH src AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             coalesce({_fw_duck}, '') AS t
+      FROM documents
+    ), base AS (
+      SELECT doc_id, t,
+             list_filter(str_split(t, chr(10)), l -> l != '') AS lines
+      FROM src
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             round(CASE WHEN len(lines) > 0 THEN
+               len(list_filter(lines,
+                   l -> regexp_matches(l, '[.!?"’]\\s*$')))
+               / len(lines) ELSE 0.0 END, 6) AS punct_line_frac,
+             round(CASE WHEN len(lines) > 0 THEN
+               len(list_filter(lines, l -> length(l) < {SHORT_LINE_CHARS}))
+               / len(lines) ELSE 0.0 END, 6) AS short_line_frac,
+             contains(t, chr(123)) AS has_curly,
+             contains(lower(t), 'lorem ipsum') AS has_lorem,
+             CAST(len(regexp_extract_all(t, '[.!?]+')) AS BIGINT)
+               AS n_sentences
+      FROM base
+    )
+    SELECT doc_id, n_lines, punct_line_frac, short_line_frac,
+           has_curly, has_lorem, n_sentences,
+           (punct_line_frac >= {MIN_PUNCT_LINE_FRAC}
+            AND short_line_frac <= {MAX_SHORT_LINE_FRAC}
+            AND NOT has_curly AND NOT has_lorem
+            AND n_sentences >= {MIN_SENTENCES}) AS fineweb_pass
+    FROM m
+    """
 
     # winnowing fingerprints — identical formulation, DuckDB dialect
     # (md5-prefix hash parity with Spark's conv() verified; (hash, pos)
@@ -2785,6 +2942,8 @@ QUERIES = {
     "acquire_http": q_acquire_http,
     "curation_funnel": q_curation_funnel,
     "curation_survivors": q_curation_survivors,
+    "fineweb_quality": q_fineweb_quality,
+    "url_filter": q_url_filter,
     # --- last driver row is r4: due this round ---
     "langid_file_model": q_langid_file_model,
     "perplexity_arpa": q_perplexity_arpa,
