@@ -6,6 +6,7 @@ mega-document path."""
 import dataclasses
 
 import pytest
+import pyspark.sql.functions as F
 
 from wordscape_spark import datagen
 from wordscape_spark.config import DEFAULT_CONFIG, ExtractConfig
@@ -115,3 +116,29 @@ def test_salted_slim_equals_salted_full(spark, docs_path):
     assert set(X.extract_slim(docs, cfg).columns) == {
         "doc_id", "ok", "reject_reason", "spans"
     }
+
+
+def test_null_spans_doc_rejects_not_vanishes(spark):
+    """size(NULL) is NULL since Spark 3.0: without the guard, a NULL
+    spans array satisfies neither side of the small/salted split and the
+    doc silently vanishes.  It must surface as a 'null_spans' reject on
+    BOTH the full and slim paths (and with/without a maintained n_spans
+    column)."""
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    rows = [
+        ("ok_empty", []),
+        ("nullish", None),
+    ]
+    base = spark.createDataFrame(rows, schema)
+    with_meta = base.withColumn("n_spans", F.size("spans"))  # NULL for b2
+    for docs in (base, with_meta):
+        for fn in (X.extract, X.extract_slim):
+            got = {
+                r["doc_id"]: r["reject_reason"]
+                for r in fn(docs).select("doc_id", "reject_reason").collect()
+            }
+            assert set(got) == {"ok_empty", "nullish"}, (fn.__name__, got)
+            assert got["nullish"] == "null_spans", fn.__name__

@@ -217,6 +217,10 @@ def _safe_classify(spans, cfg: ExtractConfig) -> C.DocResult:
     row instead of failing the task (the reference's failed_*.jsonl model,
     annotator_process.py:199-282 — at 10^12 rows one bad doc must never
     kill a job)."""
+    if spans is None:
+        # NULL spans array (producer wrote a null, not []): a distinct
+        # marker, not error:TypeError from inside the classifier
+        return C.DocResult(False, "null_spans", [], "", {}, 0.0, {})
     try:
         return C.classify_document(_spans_to_tuples(spans), cfg)
     except Exception as exc:  # noqa: BLE001 — intentional isolation boundary
@@ -322,6 +326,8 @@ def _safe_classify_tuples(
 
 def _safe_classify_rows(spans: list[dict], cfg: ExtractConfig) -> C.DocResult:
     """_safe_classify for plain list-of-dict spans (Arrow to_pylist form)."""
+    if spans is None:
+        return C.DocResult(False, "null_spans", [], "", {}, 0.0, {})
     try:
         return C.classify_document(
             [
@@ -686,8 +692,13 @@ def extract(docs: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
         )
         big = docs.filter(n_spans > F.lit(cfg.salt_threshold))
     else:
+        # size(NULL) is NULL (not -1) since Spark 3.0: a NULL spans array
+        # would satisfy neither predicate and vanish — route it small,
+        # like the maintained-column branch (kernel rejects it per-doc)
         n_spans = F.size("spans")
-        small = docs.filter(n_spans <= F.lit(cfg.salt_threshold))
+        small = docs.filter(
+            (n_spans <= F.lit(cfg.salt_threshold)) | F.col("spans").isNull()
+        )
         big = docs.filter(n_spans > F.lit(cfg.salt_threshold))
 
     # (A heavy-first two-branch scan — union the >8k-span docs first so
@@ -759,8 +770,13 @@ def extract_slim(
         )
         big = docs.filter(n_spans > F.lit(cfg.salt_threshold))
     else:
+        # size(NULL) is NULL (not -1) since Spark 3.0: a NULL spans array
+        # would satisfy neither predicate and vanish — route it small,
+        # like the maintained-column branch (kernel rejects it per-doc)
         n_spans = F.size("spans")
-        small = docs.filter(n_spans <= F.lit(cfg.salt_threshold))
+        small = docs.filter(
+            (n_spans <= F.lit(cfg.salt_threshold)) | F.col("spans").isNull()
+        )
         big = docs.filter(n_spans > F.lit(cfg.salt_threshold))
 
     small_out = ensure_parallelism(small.select("doc_id", "spans")).mapInArrow(
