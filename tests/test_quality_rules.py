@@ -461,3 +461,69 @@ def test_fineweb_fuzz_vs_python(spark):
         want = py_row(text)
         for k, v in want.items():
             assert got[doc_id][k] == v, (doc_id, k, text)
+
+
+# ---------------------------------------------------------------------------
+# substring_dedup (Lee et al. EXACTSUBSTR at word granularity)
+# ---------------------------------------------------------------------------
+
+
+def _substr(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    return {
+        r["doc_id"]: r for r in QR.substring_dedup(df, **kw).collect()
+    }
+
+
+def test_substring_dedup_cross_doc(spark):
+    out = _substr(
+        spark,
+        [("d1", "x1 x2 c d e f x3 x4"), ("d2", "y1 c d e f y2")],
+        n=4,
+    )
+    assert out["d1"]["clean_text"] == "x1 x2 x3 x4"
+    assert out["d1"]["n_words_removed"] == 4
+    assert out["d1"]["n_dup_grams"] == 1
+    assert out["d2"]["clean_text"] == "y1 y2"
+    assert out["d2"]["n_words_removed"] == 4
+
+
+def test_substring_dedup_within_doc(spark):
+    out = _substr(spark, [("d3", "p q r s t p q r s u")], n=4)
+    # 'p q r s' occurs twice inside one doc -> both occurrences cut
+    assert out["d3"]["clean_text"] == "t u"
+    assert out["d3"]["n_words_removed"] == 8
+    assert out["d3"]["n_dup_grams"] == 2
+
+
+def test_substring_dedup_untouched_rows_survive(spark):
+    out = _substr(
+        spark,
+        [("a", "unique words only here today"), ("b", "w1 w2"), ("c", "")],
+        n=4,
+    )
+    assert out["a"]["clean_text"] == "unique words only here today"
+    assert out["a"]["n_words_removed"] == 0 and out["a"]["n_dup_grams"] == 0
+    # shorter than n: no grams, text unchanged
+    assert out["b"]["clean_text"] == "w1 w2" and out["b"]["n_words"] == 2
+    assert out["c"]["clean_text"] == "" and out["c"]["n_words"] == 0
+
+
+def test_substring_dedup_full_coverage_keeps_row(spark):
+    out = _substr(spark, [("e1", "m n o p"), ("e2", "m n o p")], n=4)
+    for d in ("e1", "e2"):
+        assert out[d]["clean_text"] == ""
+        assert out[d]["n_words_removed"] == 4
+        assert out[d]["n_words"] == 4
+
+
+def test_substring_dedup_overlapping_grams_union(spark):
+    # shared 5-word run with n=4 -> two overlapping dup grams, union 5
+    out = _substr(
+        spark,
+        [("f1", "a b c d e tail1 tailx"), ("f2", "head1 a b c d e")],
+        n=4,
+    )
+    assert out["f1"]["clean_text"] == "tail1 tailx"
+    assert out["f1"]["n_words_removed"] == 5
+    assert out["f1"]["n_dup_grams"] == 2

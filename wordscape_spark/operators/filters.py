@@ -203,3 +203,40 @@ def apply_page_whitelist(
     members = page_member_intersection(page_meta(extracted))
     wl = whitelist_pages(extracted, lang_threshold)
     return members.join(wl, ["doc_id", "page_number"], "left_semi")
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    lang_col: str = "lang",
+    ppl_col: str = "pseudo_perplexity",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data", §4.3): each language's documents split at the
+    1/3 and 2/3 perplexity terciles into head / middle / tail — the
+    released CommonCrawl quality strata.
+
+    Same scale shape as :func:`doc_whitelist`: one bounded-memory
+    percentile aggregation (GK sketch) to ONE row per language,
+    broadcast back — the corpus itself never re-shuffles and there is
+    no per-language window sort.
+
+    Returns (doc_id, lang, ppl, bucket)."""
+    th = df.groupBy(lang_col).agg(
+        F.expr(percentile_expr(ppl_col, 1 / 3, "spark")).alias("t1"),
+        F.expr(percentile_expr(ppl_col, 2 / 3, "spark")).alias("t2"),
+    )
+    return (
+        df.join(F.broadcast(th), lang_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(lang_col).alias("lang"),
+            F.col(ppl_col).alias("ppl"),
+            F.expr(
+                f"CASE WHEN {ppl_col} <= t1 THEN 'head' "
+                f"WHEN {ppl_col} <= t2 THEN 'middle' "
+                "ELSE 'tail' END"
+            ).alias("bucket"),
+        )
+    )

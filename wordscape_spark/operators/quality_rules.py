@@ -585,6 +585,106 @@ def top_ngram_metrics(
     return base.select(*cols)
 
 
+def substring_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 10, min_count: int = 2,
+) -> DataFrame:
+    """Corpus-level duplicated-substring removal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    EXACTSUBSTR pass, at word granularity): every word covered by an
+    ``n``-gram that occurs ≥ ``min_count`` times in the whole corpus
+    (across documents or repeated within one) is removed.  The
+    between-doc complement of :func:`line_dedup` — catches shared
+    passages that don't align on line boundaries.
+
+    Returns (doc_id, clean_text, n_words, n_words_removed,
+    n_dup_grams) for EVERY input doc (fully-duplicated docs come back
+    with empty clean_text — the caller decides the drop policy).
+    ``clean_text`` is the kept words joined by single spaces: the
+    rewrite is token-level, like the reference algorithm's token-stream
+    cut (documented lossy for intra-word whitespace).
+
+    Scale shape (the line_dedup discipline at n-gram granularity):
+    document text never shuffles — only 128-bit md5 gram hashes do.
+    Lee et al. build a single-machine suffix array over ~100 GB; the
+    distributed analog is
+
+    1. per-row gram hashes (``transform``/``slice``, document-local);
+    2. COUNT per hash (map-side combine collapses within-partition
+       repeats; the exchange carries (hash, partial count) only);
+    3. hashes with corpus count ≥ min_count semi-join back to per-doc
+       rows and regroup to a per-doc drop list (AQE skew-split handles
+       a mega-hot boilerplate gram; the regroup key doc_id is uniform);
+    4. the rewrite is per-row native: a flags array (one
+       ``array_contains`` per gram against the doc's own drop list),
+       then covered(j) = OR over the ≤ n windows touching word j —
+       O(words·n) per row, zero further Exchange.
+    """
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+        )
+        .withColumn(
+            "words", F.expr("filter(split(t, '\\\\s+'), w -> w != '')")
+        )
+        .withColumn(
+            "hs",
+            F.expr(
+                f"CASE WHEN size(words) >= {n} THEN "
+                f"transform(sequence(1, size(words) - {n} + 1), "
+                f"i -> md5(concat_ws(' ', slice(words, i, {n})))) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            ),
+        )
+    )
+    ex = base.select("doc_id", F.explode("hs").alias("h"))
+    dup = (
+        ex.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(min_count))
+        .select("h")
+    )
+    drops = (
+        ex.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("dh"))
+    )
+    covered = (
+        "CASE WHEN size(words) = 0 OR size(hs) = 0 THEN "
+        "transform(words, w -> false) "
+        "ELSE transform(sequence(1, size(words)), j -> "
+        f"exists(sequence(greatest(1, j - {n} + 1), least(j, size(hs))), "
+        "i -> element_at(flags, i))) END"
+    )
+    kept = (
+        "CASE WHEN size(words) = 0 THEN words ELSE "
+        "filter(transform(sequence(1, size(words)), j -> "
+        "IF(element_at(cov, j), CAST(NULL AS STRING), "
+        "element_at(words, j))), x -> x IS NOT NULL) END"
+    )
+    return (
+        base.join(drops, "doc_id", "left")
+        .withColumn(
+            "dh",
+            F.coalesce("dh", F.expr("CAST(array() AS ARRAY<STRING>)")),
+        )
+        .withColumn("flags", F.expr("transform(hs, x -> array_contains(dh, x))"))
+        .withColumn("cov", F.expr(covered))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.expr(kept)).alias("clean_text"),
+            F.size("words").cast("long").alias("n_words"),
+            F.expr("size(filter(cov, c -> c))").cast("long").alias(
+                "n_words_removed"
+            ),
+            F.expr("size(filter(flags, f -> f))").cast("long").alias(
+                "n_dup_grams"
+            ),
+        )
+    )
+
+
 DUP_NGRAM_NS = (5, 6, 7, 8, 9, 10)
 
 

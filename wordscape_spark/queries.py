@@ -558,6 +558,115 @@ def q_fineweb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUBSTR_PLANTED = (
+    " shared boilerplate sentence repeated verbatim across documents"
+    " for the substring deduplication test fixture"
+)
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-style HTML main-content extraction (Pomikálek 2011) —
+    block segmentation, link/stop-word density classification and
+    near-good smoothing as ONE native projection (zero Exchange; the
+    north rule's "HTML boilerplate strip / DOM heuristics" leg).  Both
+    dialects synthesize the same deterministic page per doc
+    (boilerplate.demo_html_expr); the oracle re-derives the extraction
+    RELATIONALLY (per-block rows + lag/lead window) — an independent
+    algorithm from the in-row array form."""
+    from wordscape_spark.operators import boilerplate as BP
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    df = docs.withColumn("html", F.expr(BP.demo_html_expr("spark")))
+    return BP.html_main_content(df)
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-substring removal (Lee et al. 2021
+    EXACTSUBSTR at word granularity): words covered by any 10-gram
+    occurring ≥ 2 times corpus-wide are cut.  Both dialects plant the
+    same 13-word passage on every 7th doc; the oracle re-derives
+    coverage relationally (positions → duplicated hashes → covered
+    word-index ranges → anti-join), independent of the in-row
+    flags/window form."""
+    from wordscape_spark.operators import quality_rules as QR
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(
+            "CASE WHEN CAST(doc_id AS BIGINT) % 7 = 0"
+            f" THEN concat(text, '{SUBSTR_PLANTED}') ELSE text END"
+        ).alias("text"),
+    )
+    return QR.substring_dedup(docs)
+
+
+def _nb_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wordscape_spark.operators import quality_rules as QR
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return QR.gopher_quality(docs, keep_cols=("text",)).select(
+        "doc_id", F.col("gopher_pass").alias("label"), "text"
+    )
+
+
+NB_VOCAB_K = 64
+
+
+def q_quality_nb_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Naive-Bayes quality-classifier TRAINING (the
+    FineWeb-Edu/DCLM model-based-filter recipe with the repo's Gopher
+    gate as teacher): token×label counts over the deterministic
+    top-64 vocabulary — integer counts, exact oracle."""
+    from wordscape_spark.operators import quality_model as QM
+
+    return QM.train_quality_nb(
+        _nb_labeled(spark, sf_dir), vocab_k=NB_VOCAB_K
+    )
+
+
+def q_quality_nb_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NB quality-classifier SERVING: train (bounded ≤ 2·vocab_k-row
+    collect), fold the 6dp-rounded log-weights into a literal map and
+    score every doc with a zero-shuffle per-row aggregate.  Oracle:
+    the full train→weights→score chain re-derived relationally in
+    DuckDB."""
+    from wordscape_spark.operators import quality_model as QM
+
+    labeled = _nb_labeled(spark, sf_dir)
+    model = QM.train_quality_nb(labeled, vocab_k=NB_VOCAB_K).collect()
+    prior = {
+        bool(r["label"]): r["n"]
+        for r in labeled.groupBy("label").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    weights, default_w, prior_w = QM.nb_weights(
+        model, prior.get(True, 0), prior.get(False, 0)
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return QM.score_quality_nb(docs, weights, default_w, prior_w)
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet per-language perplexity bucketing (Wenzek et al. 2020
+    §4.3): tercile thresholds per language (bounded GK percentile, one
+    row per language broadcast back), head/middle/tail strata."""
+    df = _docs(spark, sf_dir).withColumn(
+        "pseudo_perplexity",
+        F.expr(FL.pseudo_perplexity_expr("text", "spark")),
+    )
+    return FL.ccnet_buckets(df).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang", "ppl", "bucket",
+    )
+
+
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., MOSS): k-gram
     md5-prefix hashes, windowed rightmost-min selection — all native
@@ -2925,6 +3034,245 @@ def build_oracle_sql() -> dict[str, str]:
                                        b.embedding::DOUBLE[]), 4) >= 0.35
     """
 
+    # HTML main-content extraction — relational re-derivation (per-block
+    # rows + lag/lead smoothing window) of the in-row array form
+    from wordscape_spark.operators import boilerplate as BP
+    from wordscape_spark.operators.quality_rules import STOP_WORDS
+
+    bp_stops = ", ".join(f"'{w}'" for w in STOP_WORDS)
+    oracles["html_extract"] = f"""
+    WITH w AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ),
+    base AS (SELECT doc_id, {BP.demo_html_expr('duckdb')} AS html FROM w),
+    segs AS (
+      SELECT doc_id, u.i AS ord, u.seg AS seg FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(l) + 1),
+          i -> struct_pack(i := i, seg := l[i]))) AS u
+        FROM (SELECT doc_id,
+                regexp_split_to_array(html, '{BP.BLOCK_TAG_PATTERN}') AS l
+              FROM base)
+      )
+    ),
+    feat AS (
+      SELECT doc_id, ord,
+        trim(regexp_replace(replace(replace(
+          regexp_replace(seg, '<[^>]*>', ' ', 'g'),
+          '&nbsp;', ' '), '&amp;', '&'), '\\s+', ' ', 'g')) AS txt,
+        coalesce(list_sum(list_transform(
+          regexp_extract_all(seg, '{BP.ANCHOR_PATTERN}', 1),
+          x -> length(x))), 0) AS achars
+      FROM segs
+    ),
+    blk AS (
+      SELECT doc_id, ord, txt, length(txt) AS chars,
+        len(list_filter(string_split(txt, ' '), x -> x <> '')) AS nw,
+        len(list_filter(string_split(txt, ' '),
+            x -> list_contains([{bp_stops}], lower(x)))) AS stp,
+        CASE WHEN length(txt) > 0
+             THEN CAST(achars AS DOUBLE) / length(txt)
+             ELSE 0.0 END AS ld
+      FROM feat
+      WHERE len(list_filter(string_split(txt, ' '), x -> x <> '')) > 0
+    ),
+    cls AS (
+      SELECT doc_id, ord, txt, chars,
+        CASE WHEN ld > {BP.MAX_LINK_DENSITY} THEN 'bad'
+             WHEN nw < {BP.MIN_BLOCK_WORDS} THEN 'short'
+             WHEN CAST(stp AS DOUBLE) / nw < 0.0 THEN 'bad'
+             ELSE 'good' END AS c
+      FROM blk
+    ),
+    sm AS (
+      SELECT doc_id, ord, txt, chars,
+        (c = 'good' OR (c = 'short' AND
+          (coalesce(lag(c) OVER (PARTITION BY doc_id ORDER BY ord), '')
+             = 'good'
+           OR coalesce(lead(c) OVER (PARTITION BY doc_id ORDER BY ord), '')
+             = 'good'))) AS keep
+      FROM cls
+    )
+    SELECT doc_id,
+      string_agg(txt, chr(10) ORDER BY ord) FILTER (WHERE keep)
+        AS main_text,
+      CAST(count(*) AS BIGINT) AS n_blocks,
+      CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+      round(CAST(sum(chars) - coalesce(sum(chars) FILTER (WHERE keep), 0)
+        AS DOUBLE) / sum(chars), 6) AS boiler_char_frac
+    FROM sm GROUP BY doc_id
+    HAVING count(*) FILTER (WHERE keep) > 0
+    """
+
+    # substring dedup — relational coverage re-derivation (positions →
+    # duplicated hashes → covered index ranges → anti-join)
+    oracles["substring_dedup"] = f"""
+    WITH aug AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || '{SUBSTR_PLANTED}'
+                  ELSE text END AS t
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS ws
+      FROM aug
+    ),
+    pos AS MATERIALIZED (
+      SELECT doc_id, u.i AS i, u.h AS h FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(ws) - 10 + 2),
+          i -> struct_pack(i := i, h := md5(
+            array_to_string(list_slice(ws, i, i + 10 - 1), ' '))))) AS u
+        FROM base
+      )
+    ),
+    cnt AS MATERIALIZED (
+      SELECT h FROM pos GROUP BY h HAVING count(*) >= 2
+    ),
+    hit AS MATERIALIZED (
+      SELECT doc_id, i FROM pos WHERE h IN (SELECT h FROM cnt)
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, j FROM (
+        SELECT doc_id, unnest(range(i, i + 10)) AS j FROM hit
+      )
+    ),
+    widx AS (
+      SELECT doc_id, u.j AS j, u.w AS w FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+          i -> struct_pack(j := i, w := ws[i]))) AS u
+        FROM base
+      )
+    ),
+    keptagg AS (
+      SELECT wi.doc_id,
+             string_agg(wi.w, ' ' ORDER BY wi.j) AS clean_text,
+             count(*) AS n_kept
+      FROM widx wi LEFT JOIN cov
+        ON wi.doc_id = cov.doc_id AND wi.j = cov.j
+      WHERE cov.j IS NULL
+      GROUP BY wi.doc_id
+    ),
+    ndup AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
+      FROM hit GROUP BY doc_id
+    )
+    SELECT b.doc_id AS doc_id,
+           coalesce(k.clean_text, '') AS clean_text,
+           CAST(len(b.ws) AS BIGINT) AS n_words,
+           CAST(len(b.ws) - coalesce(k.n_kept, 0) AS BIGINT)
+             AS n_words_removed,
+           coalesce(nd.n_dup_grams, 0) AS n_dup_grams
+    FROM base b
+    LEFT JOIN keptagg k ON b.doc_id = k.doc_id
+    LEFT JOIN ndup nd ON b.doc_id = nd.doc_id
+    """
+
+    # NB quality classifier — counts (exact ints) and the full
+    # train→weights→score chain re-derived in DuckDB
+    nb_ctes = (
+        "WITH " + _gopher_duck_ctes("documents") + f""",
+    lab AS (
+      SELECT d.doc_id, gq.gopher_pass AS label, d.text
+      FROM documents d JOIN gq ON d.doc_id = gq.doc_id
+    ),
+    tok AS (
+      SELECT label,
+             unnest(list_filter(string_split_regex(
+               lower(coalesce(text, '')), '\\s+'), x -> x <> '')) AS token
+      FROM lab
+    ),
+    tl AS MATERIALIZED (
+      SELECT token, label, CAST(count(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY token, label
+    ),
+    tot AS (
+      SELECT token, sum(cnt) AS total FROM tl GROUP BY token
+    ),
+    vocab AS MATERIALIZED (
+      SELECT token FROM (
+        SELECT token,
+               row_number() OVER (ORDER BY total DESC, token) AS rn
+        FROM tot
+      ) WHERE rn <= {NB_VOCAB_K}
+    )"""
+    )
+    oracles["quality_nb_train"] = nb_ctes + """
+    SELECT tl.token AS token, CAST(tl.label AS INT) AS label,
+           tl.cnt AS cnt
+    FROM tl JOIN vocab USING (token)
+    """
+
+    oracles["quality_nb_score"] = nb_ctes + """,
+    consts AS (
+      SELECT
+        (SELECT count(*) FROM vocab) AS v,
+        (SELECT coalesce(sum(cnt), 0) FROM tl JOIN vocab USING (token)
+           WHERE label) AS sum_pos,
+        (SELECT coalesce(sum(cnt), 0) FROM tl JOIN vocab USING (token)
+           WHERE NOT label) AS sum_neg,
+        (SELECT count(*) FROM lab WHERE label) AS n_pos,
+        (SELECT count(*) FROM lab WHERE NOT label) AS n_neg
+    ),
+    wts AS MATERIALIZED (
+      SELECT v.token,
+        round(ln((coalesce(p.cnt, 0) + 1)
+                 / CAST(c.sum_pos + c.v AS DOUBLE))
+            - ln((coalesce(ng.cnt, 0) + 1)
+                 / CAST(c.sum_neg + c.v AS DOUBLE)), 6) AS w
+      FROM vocab v
+      LEFT JOIN tl p ON p.token = v.token AND p.label
+      LEFT JOIN tl ng ON ng.token = v.token AND NOT ng.label
+      CROSS JOIN consts c
+    ),
+    defs AS (
+      SELECT round(ln(1.0 / (c.sum_pos + c.v))
+                 - ln(1.0 / (c.sum_neg + c.v)), 6) AS dw,
+             round(ln(CAST(c.n_pos + 1 AS DOUBLE) / (c.n_neg + 1)), 6)
+               AS pw
+      FROM consts c
+    ),
+    dtok AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             unnest(list_filter(string_split_regex(
+               lower(coalesce(text, '')), '\\s+'), x -> x <> '')) AS token
+      FROM documents
+    ),
+    dsum AS (
+      SELECT dt.doc_id, sum(coalesce(w.w, d.dw)) AS s
+      FROM dtok dt LEFT JOIN wts w USING (token) CROSS JOIN defs d
+      GROUP BY dt.doc_id
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           round(coalesce(ds.s, 0.0) + dd.pw, 6) AS score,
+           CAST(round(coalesce(ds.s, 0.0) + dd.pw, 6) > 0 AS INT) AS pred
+    FROM documents d
+    LEFT JOIN dsum ds ON d.doc_id = ds.doc_id
+    CROSS JOIN defs dd
+    """
+
+    # CCNet perplexity terciles per language
+    oracles["ccnet_buckets"] = f"""
+    WITH scored AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+             {ppl} AS ppl
+      FROM documents
+    ),
+    th AS (
+      SELECT lang,
+             {FL.percentile_expr('ppl', 1 / 3, 'duckdb')} AS t1,
+             {FL.percentile_expr('ppl', 2 / 3, 'duckdb')} AS t2
+      FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id AS doc_id, s.lang AS lang, s.ppl AS ppl,
+           CASE WHEN s.ppl <= th.t1 THEN 'head'
+                WHEN s.ppl <= th.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s JOIN th USING (lang)
+    """
+
     return oracles
 
 
@@ -2937,6 +3285,11 @@ def build_oracle_sql() -> dict[str, str]:
 # r5+r6 covers all 71 registered queries, no query >1 round stale.
 QUERIES = {
     # --- new in r6 ---
+    "html_extract": q_html_extract,
+    "substring_dedup": q_substring_dedup,
+    "quality_nb_train": q_quality_nb_train,
+    "quality_nb_score": q_quality_nb_score,
+    "ccnet_buckets": q_ccnet_buckets,
     "doc_builtin_ingest": q_doc_builtin_ingest,
     "doc_style_roundtrip": q_doc_style_roundtrip,
     "acquire_http": q_acquire_http,
