@@ -1209,6 +1209,96 @@ def q_doc_styled_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's "PDF/layout parse" leg: raw PDF byte streams →
+    xref/object-graph/page-tree/content-stream walk (operators/pdf.py) →
+    span grammar → classifier.  The binary table is rendered
+    deterministically from the interleaved table by pdfgen (independent
+    spec-built writer, half the docs Flate-compressed), and the oracle is
+    dual-dialect SQL over the interleaved body runs — independent of both
+    writer and reader.  Ref surface this replaces: pdfplumber word
+    extraction over rendered pages (annotation_pipeline.py, SURVEY §2
+    C16)."""
+    from wordscape_spark import pdfgen
+    from wordscape_spark.operators import pdf as P
+
+    path = pdfgen.ensure_pdf(datagen.sf_from_dir(sf_dir))
+    spans = P.pdf_to_spans(spark.read.parquet(path))
+    return X.extract(spans).filter("ok").select("doc_id", "text")
+
+
+def q_pdf_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's per-row invariant, on the PDF leg: span-sequence
+    equality (kind tag, text, media_ref, order) between the parsed PDF
+    and the interleaved source — figures' media_refs must come back as
+    ``fig`` spans in exactly their document positions, page breaks as
+    ``pb``, paragraphs with their first-run size/bold.  The oracle
+    re-derives the expected ordered projection from the interleaved table
+    alone."""
+    from wordscape_spark import pdfgen
+    from wordscape_spark.operators import pdf as P
+
+    path = pdfgen.ensure_pdf(datagen.sf_from_dir(sf_dir))
+    spans = P.pdf_to_spans(spark.read.parquet(path))
+    s = spans.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("seq"),
+        F.split(F.col("s.kind"), ";").getItem(0).alias("tag"),
+        F.coalesce(F.col("s.text"), F.lit("")).alias("text"),
+        F.coalesce(F.col("s.media_ref"), F.lit("")).alias("media_ref"),
+        F.when(
+            F.col("s.kind").startswith("r;"),
+            F.round(
+                F.regexp_extract("s.kind", ";sz=([^;]+)", 1).cast("double"),
+                6,
+            ),
+        ).alias("sz"),
+        F.when(
+            F.col("s.kind").startswith("r;"),
+            (F.regexp_extract("s.kind", ";b=([^;]+)", 1) == "1").cast("int"),
+        ).alias("bold"),
+    )
+    return s
+
+
+def q_mixed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte-routed mixed-format ingestion (sources/ingest.py): one
+    binary table carrying PDF, legacy .doc AND .docx payloads (assigned
+    per doc by the first md5(doc_id) hex char — same rule in both
+    dialects) goes through the single-pass router → span grammar →
+    classifier; the result must reproduce, per format, the same
+    serializations the per-format queries pin (pdf: verbatim; .doc:
+    control-normalized; .docx: the golden text).  The ``format`` column
+    is the ROUTER's detection, so the driver row also pins dispatch.
+    At scale the format audit would reuse the ingestion pass (persist) or
+    derive natively from the binary prefix; the join here keeps the
+    correctness query self-contained."""
+    from wordscape_spark import docgen_doc, docxgen, pdfgen
+    from wordscape_spark.sources import ingest as ING
+
+    sf = datagen.sf_from_dir(sf_dir)
+    c = F.substring(F.md5(F.col("doc_id")), 1, 1)
+    mixed = (
+        spark.read.parquet(pdfgen.ensure_pdf(sf))
+        .filter(c.isin(*"01234"))
+        .unionByName(
+            spark.read.parquet(docgen_doc.ensure_doc(sf))
+            .filter(c.isin(*"56789"))
+        )
+        .unionByName(
+            spark.read.parquet(docxgen.ensure_docx(sf))
+            .filter(c.isin(*"abcdef"))
+        )
+    )
+    spans = ING.mixed_to_spans(mixed)
+    ext = X.extract(spans.select("doc_id", "spans")).filter("ok")
+    return (
+        ext.select("doc_id", "text")
+        .join(spans.select("doc_id", "format"), "doc_id")
+        .select("doc_id", "format", "text")
+    )
+
+
 def q_doc_builtin_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8 over legacy .doc (r6): builtin paragraph styles written as a
     REAL Word-97 STSH stylesheet + PAPX istd runs (docgen_doc), recovered
@@ -2915,6 +3005,132 @@ def build_oracle_sql() -> dict[str, str]:
     SELECT doc_id, text FROM serial WHERE length(text) >= 200
     """
 
+    # PDF ingestion: interleaved → pdfgen render → xref/page-tree/content
+    # parse → classify must reproduce the body-run serialization computed
+    # HERE from the interleaved table alone (independent of writer,
+    # reader, and classifier).  Unlike the .doc oracle there is NO
+    # control-char normalization: PDF literal strings octal-escape every
+    # control byte, so text round-trips verbatim.
+    oracles["pdf_ingest"] = f"""
+    WITH runs AS (
+      SELECT doc_id,
+             CAST(regexp_extract(u.kind, 'p=([0-9]+)', 1) AS INT) AS par,
+             u."offset" AS off, coalesce(u.text, '') AS t
+      FROM (SELECT doc_id, unnest(spans) AS u FROM read_parquet('{ipath}'))
+      WHERE u.kind LIKE 'r;%'
+    ),
+    pars AS (
+      SELECT doc_id, par, string_agg(t, '' ORDER BY off) AS ptext
+      FROM runs GROUP BY doc_id, par
+    ),
+    serial AS (
+      SELECT doc_id, string_agg(ptext, chr(10) ORDER BY par) AS text
+      FROM pars WHERE length(ptext) > 0 GROUP BY doc_id
+    )
+    SELECT doc_id, text FROM serial WHERE length(text) >= 200
+    """
+
+    # PDF span-sequence equality (kind tag, text, media_ref, order) —
+    # the north rule's per-row invariant on the PDF leg.  Expected ordered
+    # projection re-derived from the interleaved table alone: paragraphs
+    # collapse to their first-run size/bold (writer contract; sz<0 ⇒ the
+    # 11 pt default), figures/page-breaks keep their own offsets, items
+    # order by first-span offset (runs are contiguous per the grammar).
+    oracles["pdf_media"] = f"""
+    WITH s AS (
+      SELECT doc_id, u.kind AS kind, u."offset" AS off,
+             coalesce(u.text, '') AS t, u.media_ref AS media_ref
+      FROM (SELECT doc_id, unnest(spans) AS u FROM read_parquet('{ipath}'))
+    ),
+    runs AS (
+      SELECT doc_id,
+             CAST(regexp_extract(kind, 'p=([0-9]+)', 1) AS INT) AS par,
+             off, t,
+             regexp_extract(kind, ';b=([^;]+)', 1) AS b,
+             TRY_CAST(regexp_extract(kind, ';sz=([^;]+)', 1) AS DOUBLE)
+               AS sz
+      FROM s WHERE kind LIKE 'r;%'
+    ),
+    pars AS (
+      SELECT doc_id, par, min(off) AS ord0,
+             string_agg(t, '' ORDER BY off) AS text,
+             arg_min(b, off) AS b0, arg_min(sz, off) AS sz0
+      FROM runs GROUP BY doc_id, par
+    ),
+    items AS (
+      SELECT doc_id, ord0, 'r' AS tag, text, '' AS media_ref,
+             round(CASE WHEN sz0 IS NULL OR sz0 < 0
+                        THEN 11.0 ELSE sz0 END, 6) AS sz,
+             CAST(CASE WHEN b0 = '1' THEN 1 ELSE 0 END AS INT) AS bold
+      FROM pars
+      UNION ALL
+      SELECT doc_id, off, 'fig', '', coalesce(media_ref, ''), NULL, NULL
+      FROM s WHERE kind = 'fig'
+      UNION ALL
+      SELECT doc_id, off, 'pb', '', '', NULL, NULL
+      FROM s WHERE kind = 'pb'
+    )
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY doc_id ORDER BY ord0) - 1
+             AS seq,
+           tag, text, media_ref, sz, bold
+    FROM items
+    """
+
+    # mixed-format routed ingestion: per-format expected text re-derived
+    # with the same rules the per-format oracles use (pdf: verbatim body
+    # serialization; .doc: control-chars normalized by the writer; .docx:
+    # the golden whole-grammar text), formats assigned by the first
+    # md5(doc_id) hex char — the identical expression on the Spark side.
+    oracles["mixed_ingest"] = f"""
+    WITH fmt AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(doc_id), 1, 1) IN
+                       ('0','1','2','3','4') THEN 'pdf'
+                  WHEN substr(md5(doc_id), 1, 1) IN
+                       ('5','6','7','8','9') THEN 'doc'
+                  ELSE 'docx' END AS format
+      FROM read_parquet('{ipath}')
+    ),
+    runs AS (
+      SELECT doc_id,
+             CAST(regexp_extract(u.kind, 'p=([0-9]+)', 1) AS INT) AS par,
+             u."offset" AS off, coalesce(u.text, '') AS t
+      FROM (SELECT doc_id, unnest(spans) AS u FROM read_parquet('{ipath}'))
+      WHERE u.kind LIKE 'r;%'
+    ),
+    pdf_pars AS (
+      SELECT doc_id, par, string_agg(t, '' ORDER BY off) AS ptext
+      FROM runs GROUP BY doc_id, par
+    ),
+    pdf_serial AS (
+      SELECT doc_id, string_agg(ptext, chr(10) ORDER BY par) AS text
+      FROM pdf_pars WHERE length(ptext) > 0 GROUP BY doc_id
+    ),
+    doc_pars AS (
+      SELECT doc_id, par,
+             regexp_replace(string_agg(t, '' ORDER BY off),
+                            '[\\x00-\\x08\\x0A-\\x1F]', ' ', 'g') AS ptext
+      FROM runs GROUP BY doc_id, par
+    ),
+    doc_serial AS (
+      SELECT doc_id, string_agg(ptext, chr(10) ORDER BY par) AS text
+      FROM doc_pars WHERE length(ptext) > 0 GROUP BY doc_id
+    )
+    SELECT f.doc_id AS doc_id, f.format AS format, s.text AS text
+    FROM fmt f JOIN pdf_serial s USING (doc_id)
+    WHERE f.format = 'pdf' AND length(s.text) >= 200
+    UNION ALL
+    SELECT f.doc_id, f.format, s.text
+    FROM fmt f JOIN doc_serial s USING (doc_id)
+    WHERE f.format = 'doc' AND length(s.text) >= 200
+    UNION ALL
+    SELECT f.doc_id, f.format, g.text
+    FROM fmt f JOIN read_parquet('{gold}/doc_meta.parquet') g
+      USING (doc_id)
+    WHERE f.format = 'docx'
+    """
+
     # styled .doc ingestion: per-paragraph first-run bold/size must survive
     # the CHPX write → FKP parse round-trip; expected counts derived from
     # the interleaved table alone.  floor(sz*2+0.5) on BOTH sides (Python
@@ -3290,6 +3506,9 @@ QUERIES = {
     "quality_nb_train": q_quality_nb_train,
     "quality_nb_score": q_quality_nb_score,
     "ccnet_buckets": q_ccnet_buckets,
+    "pdf_ingest": q_pdf_ingest,
+    "pdf_media": q_pdf_media,
+    "mixed_ingest": q_mixed_ingest,
     "doc_builtin_ingest": q_doc_builtin_ingest,
     "doc_style_roundtrip": q_doc_style_roundtrip,
     "acquire_http": q_acquire_http,
