@@ -1,9 +1,10 @@
 """Mixed-format ingestion router (sources/ingest.py): magic-byte
-dispatch to the .docx / legacy-.doc / PDF parsers in one mapInPandas
-pass, with per-document fault isolation across formats."""
+dispatch to the .docx / legacy-.doc / PDF / RTF parsers in one
+mapInPandas pass, with per-document fault isolation across formats."""
 
 from wordscape_spark.docgen_doc import build_doc
 from wordscape_spark.pdfgen import build_pdf
+from wordscape_spark.rtfgen import build_rtf
 from wordscape_spark.sources.ingest import (
     detect_format,
     mixed_to_spans,
@@ -13,6 +14,11 @@ from wordscape_spark.sources.ingest import (
 
 def par(text):
     return {"type": "par", "text": text, "size": 11.0, "bold": False}
+
+
+def rpar(text):
+    return {"type": "par", "text": text, "style": "", "hps": 22,
+            "bold": False}
 
 
 def _docx_bytes() -> bytes:
@@ -30,6 +36,9 @@ def test_detect_format_magics():
     assert detect_format(b"PK\x03\x04whatever") == "docx"
     assert detect_format(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1rest") == "doc"
     assert detect_format(b"%PDF-1.7 ...") == "pdf"
+    assert detect_format(build_rtf([rpar("x")])) == "rtf"
+    assert detect_format(b"{\\rtf1\\ansi hi}") == "rtf"
+    assert detect_format(b"{not rtf}") == "unknown"
     assert detect_format(b"<html>") == "unknown"
     assert detect_format(b"") == "unknown"
 
@@ -44,6 +53,8 @@ def test_parse_any_routes_and_isolates():
     assert fmt == "pdf" and spans == []
     fmt, spans = parse_any_bytes(b"PK\x03\x04 not a zip")
     assert fmt == "docx" and spans == []
+    fmt, spans = parse_any_bytes(build_rtf([rpar("rtf text")]))
+    assert fmt == "rtf" and spans[0]["text"] == "rtf text"
     fmt, spans = parse_any_bytes(b"plain text payload")
     assert fmt == "unknown" and spans == []
 
@@ -55,6 +66,7 @@ def test_mixed_to_spans_single_pass(spark):
         ("c_docx", _docx_bytes()),
         ("d_bad", b"%PDF-1.4 broken"),
         ("e_unknown", b"just text"),
+        ("f_rtf", build_rtf([rpar("gamma rtf body")])),
     ]
     df = spark.createDataFrame(rows, "doc_id string, content binary")
     out = mixed_to_spans(df)
@@ -72,3 +84,5 @@ def test_mixed_to_spans_single_pass(spark):
     assert got["d_bad"]["format"] == "pdf" and got["d_bad"]["spans"] == []
     assert got["e_unknown"]["format"] == "unknown"
     assert got["e_unknown"]["spans"] == []
+    assert got["f_rtf"]["format"] == "rtf"
+    assert got["f_rtf"]["spans"][0]["text"] == "gamma rtf body"

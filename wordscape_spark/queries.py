@@ -1261,33 +1261,95 @@ def q_pdf_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s
 
 
+def q_rtf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTF ingestion (third Word-family container next to .doc/.docx):
+    raw RTF byte streams → tokenizer/group-stack interpreter
+    (operators/rtf.py) → span grammar → classifier.  The binary table is
+    rendered deterministically from the interleaved table by rtfgen
+    (independent spec-built writer; md5 bits pick pict-vs-field figures,
+    \\'hh-vs-\\uN? escapes, grouped-vs-flat formatting per doc), and the
+    oracle is the same verbatim body-run serialization the PDF leg pins —
+    RTF's \\uN? escapes round-trip every codepoint, so no control-char
+    normalization.  Ref surface: Word-family payload routing
+    (download_process.py)."""
+    from wordscape_spark import rtfgen
+    from wordscape_spark.operators import rtf as R
+
+    path = rtfgen.ensure_rtf(datagen.sf_from_dir(sf_dir))
+    spans = R.rtf_to_spans(spark.read.parquet(path))
+    return X.extract(spans).filter("ok").select("doc_id", "text")
+
+
+def q_rtf_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's per-row invariant on the RTF leg, one field
+    STRONGER than the PDF pin: span-sequence equality (kind tag, text,
+    media_ref, order, size, bold) PLUS the paragraph style NAME, which
+    must survive the stylesheet write → \\sN reference → stylesheet
+    parse round-trip (RTF carries real named styles, so C8 classification
+    fires for RTF like it does for .docx/.doc).  Expected rows re-derived
+    relationally from the interleaved table alone: style/size/bold are
+    the first run's, half-points via floor(sz*2+0.5) (the .doc writer's
+    formulation), sz<0 ⇒ the 11 pt default."""
+    from wordscape_spark import rtfgen
+    from wordscape_spark.operators import rtf as R
+
+    path = rtfgen.ensure_rtf(datagen.sf_from_dir(sf_dir))
+    spans = R.rtf_to_spans(spark.read.parquet(path))
+    return spans.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("seq"),
+        F.split(F.col("s.kind"), ";").getItem(0).alias("tag"),
+        F.coalesce(F.col("s.text"), F.lit("")).alias("text"),
+        F.coalesce(F.col("s.media_ref"), F.lit("")).alias("media_ref"),
+        F.when(
+            F.col("s.kind").startswith("r;"),
+            F.regexp_extract("s.kind", ";s=([^;]*)", 1),
+        ).otherwise("").alias("style"),
+        F.when(
+            F.col("s.kind").startswith("r;"),
+            F.round(
+                F.regexp_extract("s.kind", ";sz=([^;]+)", 1).cast("double"),
+                6,
+            ),
+        ).alias("sz"),
+        F.when(
+            F.col("s.kind").startswith("r;"),
+            (F.regexp_extract("s.kind", ";b=([^;]+)", 1) == "1").cast("int"),
+        ).alias("bold"),
+    )
+
+
 def q_mixed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Magic-byte-routed mixed-format ingestion (sources/ingest.py): one
-    binary table carrying PDF, legacy .doc AND .docx payloads (assigned
-    per doc by the first md5(doc_id) hex char — same rule in both
-    dialects) goes through the single-pass router → span grammar →
+    binary table carrying PDF, legacy .doc, .docx AND RTF payloads
+    (assigned per doc by the first md5(doc_id) hex char — same rule in
+    both dialects) goes through the single-pass router → span grammar →
     classifier; the result must reproduce, per format, the same
-    serializations the per-format queries pin (pdf: verbatim; .doc:
+    serializations the per-format queries pin (pdf/rtf: verbatim; .doc:
     control-normalized; .docx: the golden text).  The ``format`` column
     is the ROUTER's detection, so the driver row also pins dispatch.
     At scale the format audit would reuse the ingestion pass (persist) or
     derive natively from the binary prefix; the join here keeps the
     correctness query self-contained."""
-    from wordscape_spark import docgen_doc, docxgen, pdfgen
+    from wordscape_spark import docgen_doc, docxgen, pdfgen, rtfgen
     from wordscape_spark.sources import ingest as ING
 
     sf = datagen.sf_from_dir(sf_dir)
     c = F.substring(F.md5(F.col("doc_id")), 1, 1)
     mixed = (
         spark.read.parquet(pdfgen.ensure_pdf(sf))
-        .filter(c.isin(*"01234"))
+        .filter(c.isin(*"0123"))
         .unionByName(
             spark.read.parquet(docgen_doc.ensure_doc(sf))
-            .filter(c.isin(*"56789"))
+            .filter(c.isin(*"4567"))
         )
         .unionByName(
             spark.read.parquet(docxgen.ensure_docx(sf))
-            .filter(c.isin(*"abcdef"))
+            .filter(c.isin(*"89ab"))
+        )
+        .unionByName(
+            spark.read.parquet(rtfgen.ensure_rtf(sf))
+            .filter(c.isin(*"cdef"))
         )
     )
     spans = ING.mixed_to_spans(mixed)
@@ -3077,19 +3139,77 @@ def build_oracle_sql() -> dict[str, str]:
     FROM items
     """
 
+    # RTF ingestion: the \uN? escape round-trips every codepoint, so the
+    # expected text is the same VERBATIM body-run serialization the PDF
+    # oracle derives (independent of writer, reader and classifier).
+    oracles["rtf_ingest"] = oracles["pdf_ingest"]
+
+    # RTF span-sequence equality — the pdf_media projection PLUS the
+    # paragraph style NAME (stylesheet round-trip) with the .doc writer's
+    # half-point quantization: hps = floor(sz*2+0.5), reader reports
+    # hps/2; sz<0 or missing ⇒ the 11 pt default.
+    oracles["rtf_media"] = f"""
+    WITH s AS (
+      SELECT doc_id, u.kind AS kind, u."offset" AS off,
+             coalesce(u.text, '') AS t, u.media_ref AS media_ref
+      FROM (SELECT doc_id, unnest(spans) AS u FROM read_parquet('{ipath}'))
+    ),
+    runs AS (
+      SELECT doc_id,
+             CAST(regexp_extract(kind, 'p=([0-9]+)', 1) AS INT) AS par,
+             off, t,
+             regexp_extract(kind, ';s=([^;]*)', 1) AS st,
+             regexp_extract(kind, ';b=([^;]+)', 1) AS b,
+             TRY_CAST(regexp_extract(kind, ';sz=([^;]+)', 1) AS DOUBLE)
+               AS sz
+      FROM s WHERE kind LIKE 'r;%'
+    ),
+    pars AS (
+      SELECT doc_id, par, min(off) AS ord0,
+             string_agg(t, '' ORDER BY off) AS text,
+             arg_min(st, off) AS st0,
+             arg_min(b, off) AS b0, arg_min(sz, off) AS sz0
+      FROM runs GROUP BY doc_id, par
+    ),
+    items AS (
+      SELECT doc_id, ord0, 'r' AS tag, text, '' AS media_ref,
+             coalesce(st0, '') AS style,
+             round(CASE WHEN sz0 IS NULL OR sz0 < 0
+                        THEN 11.0
+                        ELSE floor(sz0 * 2 + 0.5) / 2.0 END, 6) AS sz,
+             CAST(CASE WHEN b0 = '1' THEN 1 ELSE 0 END AS INT) AS bold
+      FROM pars
+      UNION ALL
+      SELECT doc_id, off, 'fig', '', coalesce(media_ref, ''), '',
+             NULL, NULL
+      FROM s WHERE kind = 'fig'
+      UNION ALL
+      SELECT doc_id, off, 'pb', '', '', '', NULL, NULL
+      FROM s WHERE kind = 'pb'
+    )
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY doc_id ORDER BY ord0) - 1
+             AS seq,
+           tag, text, media_ref, style, sz, bold
+    FROM items
+    """
+
     # mixed-format routed ingestion: per-format expected text re-derived
-    # with the same rules the per-format oracles use (pdf: verbatim body
-    # serialization; .doc: control-chars normalized by the writer; .docx:
-    # the golden whole-grammar text), formats assigned by the first
-    # md5(doc_id) hex char — the identical expression on the Spark side.
+    # with the rules the per-format oracles use (pdf AND rtf: verbatim
+    # body serialization; .doc: control-chars normalized by the writer;
+    # .docx: the golden whole-grammar text), formats assigned by the
+    # first md5(doc_id) hex char — the identical expression on the Spark
+    # side.
     oracles["mixed_ingest"] = f"""
     WITH fmt AS (
       SELECT doc_id,
              CASE WHEN substr(md5(doc_id), 1, 1) IN
-                       ('0','1','2','3','4') THEN 'pdf'
+                       ('0','1','2','3') THEN 'pdf'
                   WHEN substr(md5(doc_id), 1, 1) IN
-                       ('5','6','7','8','9') THEN 'doc'
-                  ELSE 'docx' END AS format
+                       ('4','5','6','7') THEN 'doc'
+                  WHEN substr(md5(doc_id), 1, 1) IN
+                       ('8','9','a','b') THEN 'docx'
+                  ELSE 'rtf' END AS format
       FROM read_parquet('{ipath}')
     ),
     runs AS (
@@ -3129,6 +3249,10 @@ def build_oracle_sql() -> dict[str, str]:
     FROM fmt f JOIN read_parquet('{gold}/doc_meta.parquet') g
       USING (doc_id)
     WHERE f.format = 'docx'
+    UNION ALL
+    SELECT f.doc_id, f.format, s.text
+    FROM fmt f JOIN pdf_serial s USING (doc_id)
+    WHERE f.format = 'rtf' AND length(s.text) >= 200
     """
 
     # styled .doc ingestion: per-paragraph first-run bold/size must survive
@@ -3508,6 +3632,8 @@ QUERIES = {
     "ccnet_buckets": q_ccnet_buckets,
     "pdf_ingest": q_pdf_ingest,
     "pdf_media": q_pdf_media,
+    "rtf_ingest": q_rtf_ingest,
+    "rtf_media": q_rtf_media,
     "mixed_ingest": q_mixed_ingest,
     "doc_builtin_ingest": q_doc_builtin_ingest,
     "doc_style_roundtrip": q_doc_style_roundtrip,

@@ -1,6 +1,6 @@
 """Mixed-format document ingestion: one magic-byte-dispatched front door
 for the binary formats the engine reads (.docx OOXML zip, legacy .doc
-compound file, PDF).
+compound file, PDF, RTF).
 
 The reference's download pipeline sniffs fetched payloads and routes
 them to per-format handling (reference
@@ -31,10 +31,12 @@ from pyspark.sql.types import StringType, StructField, StructType
 _PDF_MAGIC = b"%PDF"
 _CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 _ZIP_MAGIC = b"PK\x03\x04"
+_RTF_MAGIC = b"{\\rtf"
 
 FORMAT_PDF = "pdf"
 FORMAT_DOC = "doc"
 FORMAT_DOCX = "docx"
+FORMAT_RTF = "rtf"
 FORMAT_UNKNOWN = "unknown"
 
 
@@ -47,6 +49,8 @@ def detect_format(data: bytes) -> str:
         return FORMAT_DOC
     if data[:4] == _ZIP_MAGIC:
         return FORMAT_DOCX
+    if data[:5] == _RTF_MAGIC:
+        return FORMAT_RTF
     return FORMAT_UNKNOWN
 
 
@@ -56,12 +60,14 @@ def parse_any_bytes(data: bytes) -> tuple[str, list[dict]]:
     from wordscape_spark.operators.doc_legacy import parse_doc_bytes
     from wordscape_spark.operators.docx import parse_docx_bytes
     from wordscape_spark.operators.pdf import parse_pdf_bytes
+    from wordscape_spark.operators.rtf import parse_rtf_bytes
 
     fmt = detect_format(data)
     parser = {
         FORMAT_PDF: parse_pdf_bytes,
         FORMAT_DOC: parse_doc_bytes,
         FORMAT_DOCX: parse_docx_bytes,
+        FORMAT_RTF: parse_rtf_bytes,
     }.get(fmt)
     if parser is None:
         return fmt, []
