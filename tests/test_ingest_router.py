@@ -1,8 +1,9 @@
 """Mixed-format ingestion router (sources/ingest.py): magic-byte
-dispatch to the .docx / legacy-.doc / PDF / RTF parsers in one
+dispatch to the .docx / ODT / legacy-.doc / PDF / RTF parsers in one
 mapInPandas pass, with per-document fault isolation across formats."""
 
 from wordscape_spark.docgen_doc import build_doc
+from wordscape_spark.odtgen import build_odt
 from wordscape_spark.pdfgen import build_pdf
 from wordscape_spark.rtfgen import build_rtf
 from wordscape_spark.sources.ingest import (
@@ -38,6 +39,10 @@ def test_detect_format_magics():
     assert detect_format(b"%PDF-1.7 ...") == "pdf"
     assert detect_format(build_rtf([rpar("x")])) == "rtf"
     assert detect_format(b"{\\rtf1\\ansi hi}") == "rtf"
+    # PK-zip disambiguation: ODF mimetype-first member vs OOXML
+    assert detect_format(build_odt([rpar("x")])) == "odt"
+    assert detect_format(_docx_bytes()) == "docx"
+    assert detect_format(b"PK\x03\x04" + b"\x00" * 10) == "docx"
     assert detect_format(b"{not rtf}") == "unknown"
     assert detect_format(b"<html>") == "unknown"
     assert detect_format(b"") == "unknown"
@@ -55,6 +60,8 @@ def test_parse_any_routes_and_isolates():
     assert fmt == "docx" and spans == []
     fmt, spans = parse_any_bytes(build_rtf([rpar("rtf text")]))
     assert fmt == "rtf" and spans[0]["text"] == "rtf text"
+    fmt, spans = parse_any_bytes(build_odt([rpar("odt text")]))
+    assert fmt == "odt" and spans[0]["text"] == "odt text"
     fmt, spans = parse_any_bytes(b"plain text payload")
     assert fmt == "unknown" and spans == []
 
@@ -67,6 +74,7 @@ def test_mixed_to_spans_single_pass(spark):
         ("d_bad", b"%PDF-1.4 broken"),
         ("e_unknown", b"just text"),
         ("f_rtf", build_rtf([rpar("gamma rtf body")])),
+        ("g_odt", build_odt([rpar("delta odt body")])),
     ]
     df = spark.createDataFrame(rows, "doc_id string, content binary")
     out = mixed_to_spans(df)
@@ -86,3 +94,5 @@ def test_mixed_to_spans_single_pass(spark):
     assert got["e_unknown"]["spans"] == []
     assert got["f_rtf"]["format"] == "rtf"
     assert got["f_rtf"]["spans"][0]["text"] == "gamma rtf body"
+    assert got["g_odt"]["format"] == "odt"
+    assert got["g_odt"]["spans"][0]["text"] == "delta odt body"

@@ -1319,36 +1319,97 @@ def q_rtf_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_odt_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODT ingestion (fourth Word-family container; the reference's
+    LibreOffice conversion step is ODF-native, conversion_manager.py):
+    raw .odt packages → zip + ODF-XML reader (operators/odt.py) → span
+    grammar → classifier.  The binary table is rendered deterministically
+    from the interleaved table by odtgen (independent spec-built writer;
+    md5 bits pick embedded-vs-linked figures, char-ref-vs-UTF-8 text,
+    automatic-parent-vs-direct-named styling per doc), and the oracle is
+    the same verbatim body-run serialization the PDF and RTF legs pin —
+    XML round-trips every codepoint."""
+    from wordscape_spark import odtgen
+    from wordscape_spark.operators import odt as O
+
+    path = odtgen.ensure_odt(datagen.sf_from_dir(sf_dir))
+    spans = O.odt_to_spans(spark.read.parquet(path))
+    return X.extract(spans).filter("ok").select("doc_id", "text")
+
+
+def q_odt_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's per-row invariant on the ODT leg, same strength
+    as the RTF pin: span-sequence equality (kind tag, text, media_ref,
+    order, size, bold) PLUS the paragraph style NAME, which must survive
+    the styles.xml write (hex-escaped style:name + display-name) →
+    automatic-style parent chain → reader resolution round-trip.  Sizes
+    are half-point-quantized by the writer exactly like the RTF/.doc
+    writers, so the rtf_media oracle applies unchanged."""
+    from wordscape_spark import odtgen
+    from wordscape_spark.operators import odt as O
+
+    path = odtgen.ensure_odt(datagen.sf_from_dir(sf_dir))
+    spans = O.odt_to_spans(spark.read.parquet(path))
+    return spans.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("seq"),
+        F.split(F.col("s.kind"), ";").getItem(0).alias("tag"),
+        F.coalesce(F.col("s.text"), F.lit("")).alias("text"),
+        F.coalesce(F.col("s.media_ref"), F.lit("")).alias("media_ref"),
+        F.when(
+            F.col("s.kind").startswith("r;"),
+            F.regexp_extract("s.kind", ";s=([^;]*)", 1),
+        ).otherwise("").alias("style"),
+        F.when(
+            F.col("s.kind").startswith("r;"),
+            F.round(
+                F.regexp_extract("s.kind", ";sz=([^;]+)", 1).cast("double"),
+                6,
+            ),
+        ).alias("sz"),
+        F.when(
+            F.col("s.kind").startswith("r;"),
+            (F.regexp_extract("s.kind", ";b=([^;]+)", 1) == "1").cast("int"),
+        ).alias("bold"),
+    )
+
+
 def q_mixed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Magic-byte-routed mixed-format ingestion (sources/ingest.py): one
-    binary table carrying PDF, legacy .doc, .docx AND RTF payloads
+    binary table carrying PDF, legacy .doc, .docx, RTF AND ODT payloads
     (assigned per doc by the first md5(doc_id) hex char — same rule in
     both dialects) goes through the single-pass router → span grammar →
     classifier; the result must reproduce, per format, the same
-    serializations the per-format queries pin (pdf/rtf: verbatim; .doc:
-    control-normalized; .docx: the golden text).  The ``format`` column
-    is the ROUTER's detection, so the driver row also pins dispatch.
+    serializations the per-format queries pin (pdf/rtf/odt: verbatim;
+    .doc: control-normalized; .docx: the golden text).  The ``format``
+    column is the ROUTER's detection — including the PK-zip
+    disambiguation between OOXML and the ODF ``mimetype`` first member —
+    so the driver row also pins dispatch.
     At scale the format audit would reuse the ingestion pass (persist) or
     derive natively from the binary prefix; the join here keeps the
     correctness query self-contained."""
-    from wordscape_spark import docgen_doc, docxgen, pdfgen, rtfgen
+    from wordscape_spark import docgen_doc, docxgen, odtgen, pdfgen, rtfgen
     from wordscape_spark.sources import ingest as ING
 
     sf = datagen.sf_from_dir(sf_dir)
     c = F.substring(F.md5(F.col("doc_id")), 1, 1)
     mixed = (
         spark.read.parquet(pdfgen.ensure_pdf(sf))
-        .filter(c.isin(*"0123"))
+        .filter(c.isin(*"012"))
         .unionByName(
             spark.read.parquet(docgen_doc.ensure_doc(sf))
-            .filter(c.isin(*"4567"))
+            .filter(c.isin(*"345"))
         )
         .unionByName(
             spark.read.parquet(docxgen.ensure_docx(sf))
-            .filter(c.isin(*"89ab"))
+            .filter(c.isin(*"678"))
         )
         .unionByName(
             spark.read.parquet(rtfgen.ensure_rtf(sf))
+            .filter(c.isin(*"9ab"))
+        )
+        .unionByName(
+            spark.read.parquet(odtgen.ensure_odt(sf))
             .filter(c.isin(*"cdef"))
         )
     )
@@ -3194,22 +3255,30 @@ def build_oracle_sql() -> dict[str, str]:
     FROM items
     """
 
+    # ODT ingestion / span-sequence pins: XML round-trips every
+    # codepoint and the writer half-point-quantizes sizes exactly like
+    # the RTF writer, so both RTF oracles apply unchanged.
+    oracles["odt_ingest"] = oracles["pdf_ingest"]
+    oracles["odt_media"] = oracles["rtf_media"]
+
     # mixed-format routed ingestion: per-format expected text re-derived
-    # with the rules the per-format oracles use (pdf AND rtf: verbatim
-    # body serialization; .doc: control-chars normalized by the writer;
-    # .docx: the golden whole-grammar text), formats assigned by the
-    # first md5(doc_id) hex char — the identical expression on the Spark
-    # side.
+    # with the rules the per-format oracles use (pdf, rtf AND odt:
+    # verbatim body serialization; .doc: control-chars normalized by the
+    # writer; .docx: the golden whole-grammar text), formats assigned by
+    # the first md5(doc_id) hex char — the identical expression on the
+    # Spark side.
     oracles["mixed_ingest"] = f"""
     WITH fmt AS (
       SELECT doc_id,
              CASE WHEN substr(md5(doc_id), 1, 1) IN
-                       ('0','1','2','3') THEN 'pdf'
+                       ('0','1','2') THEN 'pdf'
                   WHEN substr(md5(doc_id), 1, 1) IN
-                       ('4','5','6','7') THEN 'doc'
+                       ('3','4','5') THEN 'doc'
                   WHEN substr(md5(doc_id), 1, 1) IN
-                       ('8','9','a','b') THEN 'docx'
-                  ELSE 'rtf' END AS format
+                       ('6','7','8') THEN 'docx'
+                  WHEN substr(md5(doc_id), 1, 1) IN
+                       ('9','a','b') THEN 'rtf'
+                  ELSE 'odt' END AS format
       FROM read_parquet('{ipath}')
     ),
     runs AS (
@@ -3253,6 +3322,10 @@ def build_oracle_sql() -> dict[str, str]:
     SELECT f.doc_id, f.format, s.text
     FROM fmt f JOIN pdf_serial s USING (doc_id)
     WHERE f.format = 'rtf' AND length(s.text) >= 200
+    UNION ALL
+    SELECT f.doc_id, f.format, s.text
+    FROM fmt f JOIN pdf_serial s USING (doc_id)
+    WHERE f.format = 'odt' AND length(s.text) >= 200
     """
 
     # styled .doc ingestion: per-paragraph first-run bold/size must survive
@@ -3634,6 +3707,8 @@ QUERIES = {
     "pdf_media": q_pdf_media,
     "rtf_ingest": q_rtf_ingest,
     "rtf_media": q_rtf_media,
+    "odt_ingest": q_odt_ingest,
+    "odt_media": q_odt_media,
     "mixed_ingest": q_mixed_ingest,
     "doc_builtin_ingest": q_doc_builtin_ingest,
     "doc_style_roundtrip": q_doc_style_roundtrip,

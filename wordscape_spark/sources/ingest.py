@@ -1,6 +1,6 @@
 """Mixed-format document ingestion: one magic-byte-dispatched front door
-for the binary formats the engine reads (.docx OOXML zip, legacy .doc
-compound file, PDF, RTF).
+for the binary formats the engine reads (.docx OOXML zip, ODT ODF zip,
+legacy .doc compound file, PDF, RTF).
 
 The reference's download pipeline sniffs fetched payloads and routes
 them to per-format handling (reference
@@ -37,18 +37,37 @@ FORMAT_PDF = "pdf"
 FORMAT_DOC = "doc"
 FORMAT_DOCX = "docx"
 FORMAT_RTF = "rtf"
+FORMAT_ODT = "odt"
 FORMAT_UNKNOWN = "unknown"
 
 
+def _sniff_zip(data: bytes) -> str:
+    """Disambiguate the PK container WITHOUT opening the zip: an ODF
+    package's first local entry must be the STORED ``mimetype`` member
+    (ODF 1.2 §3.3), so its name and content sit at fixed offsets in the
+    first local file header; anything else is treated as OOXML."""
+    if len(data) < 30:
+        return FORMAT_DOCX
+    name_len = int.from_bytes(data[26:28], "little")
+    name = data[30:30 + name_len]
+    if name == b"mimetype":
+        csize = int.from_bytes(data[18:22], "little")
+        body = data[30 + name_len:30 + name_len + csize]
+        if b"opendocument.text" in body:
+            return FORMAT_ODT
+    return FORMAT_DOCX
+
+
 def detect_format(data: bytes) -> str:
-    """Container detection by magic bytes (a PK zip is reported as .docx;
-    distinguishing other OOXML/zip payloads is the caller's concern)."""
+    """Container detection by magic bytes (a PK zip is .docx unless its
+    first member is an ODF ``mimetype``; distinguishing other OOXML/zip
+    payloads is the caller's concern)."""
     if data[:4] == _PDF_MAGIC:
         return FORMAT_PDF
     if data[:8] == _CFB_MAGIC:
         return FORMAT_DOC
     if data[:4] == _ZIP_MAGIC:
-        return FORMAT_DOCX
+        return _sniff_zip(data)
     if data[:5] == _RTF_MAGIC:
         return FORMAT_RTF
     return FORMAT_UNKNOWN
@@ -59,6 +78,7 @@ def parse_any_bytes(data: bytes) -> tuple[str, list[dict]]:
     unknown container or a parse failure."""
     from wordscape_spark.operators.doc_legacy import parse_doc_bytes
     from wordscape_spark.operators.docx import parse_docx_bytes
+    from wordscape_spark.operators.odt import parse_odt_bytes
     from wordscape_spark.operators.pdf import parse_pdf_bytes
     from wordscape_spark.operators.rtf import parse_rtf_bytes
 
@@ -68,6 +88,7 @@ def parse_any_bytes(data: bytes) -> tuple[str, list[dict]]:
         FORMAT_DOC: parse_doc_bytes,
         FORMAT_DOCX: parse_docx_bytes,
         FORMAT_RTF: parse_rtf_bytes,
+        FORMAT_ODT: parse_odt_bytes,
     }.get(fmt)
     if parser is None:
         return fmt, []
