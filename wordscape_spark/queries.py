@@ -1422,6 +1422,101 @@ def q_mixed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) over the documents
+    table: raw = all docs, target = the English slice; hashed unigram +
+    bigram models (md5-prefix buckets, the repo's dual-dialect hash),
+    additive smoothing, per-doc log weight = Σ log p/q over gram
+    instances.  The oracle re-derives the whole chain relationally in
+    DuckDB — same tokenizer regex, same hash, same smoothing."""
+    from wordscape_spark.operators import dsir
+
+    raw = _docs(spark, sf_dir)
+    w = dsir.dsir_log_weights(raw, raw.filter("lang = 'en'"))
+    return w.select("doc_id", F.round("log_weight", 6).alias("log_weight"))
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel top-k importance RESAMPLE (without replacement,
+    ∝ exp(log_weight)) of the DSIR weights — deterministic md5-derived
+    Gumbel noise, so the selected set is reproducible and
+    oracle-checkable; bounded TakeOrdered, no global sort."""
+    from wordscape_spark.operators import dsir
+
+    raw = _docs(spark, sf_dir)
+    w = dsir.dsir_log_weights(raw, raw.filter("lang = 'en'"))
+    return dsir.dsir_resample(w, k=200).select(
+        "doc_id",
+        F.round("log_weight", 6).alias("log_weight"),
+        F.round("key", 6).alias("key"),
+    )
+
+
+def q_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual temperature-sampling rates (XLM-R alpha=0.3 mix at a
+    0.5 corpus budget) over the documents table — the ≤|languages|-row
+    broadcast table the sampler keys on."""
+    from wordscape_spark.operators import mixing
+
+    return mixing.language_sampling_rates(_docs(spark, sf_dir)).select(
+        "lang", "n_docs", F.round("rate", 6).alias("rate")
+    )
+
+
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministically temperature-sampled corpus (md5-uniform
+    per doc vs its language's rate): broadcast join + per-row predicate,
+    zero corpus shuffle; the exact surviving set is oracle-checked."""
+    from wordscape_spark.operators import mixing
+
+    return mixing.temperature_sample(_docs(spark, sf_dir)).select(
+        "doc_id", "lang"
+    )
+
+
+#: bloom gate sizing for the sf0.01 demo: ~975 seen keys × 4 hashes over
+#: 8192 bits → fill ≈ 0.38, fp ≈ 2% (some false positives actually occur
+#: — the documented trade is exercised, not hidden)
+_BLOOM_M, _BLOOM_K = 8192, 4
+#: the "already ingested" half of the corpus: md5-parity split on doc_id
+_BLOOM_SEEN = (
+    "pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+    " AS BIGINT), 2) = 0"
+)
+
+
+def q_bloom_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed bloom bitmap (Dolma-style seen-set) over the
+    already-ingested half of the corpus: (word_idx, word) for every
+    non-zero 63-bit word — ≤ ceil(m/63) rows whatever the corpus size.
+    DuckDB re-derives the double-hash positions AND the bit packing."""
+    from wordscape_spark.operators import bloom
+
+    seen = _docs(spark, sf_dir).filter(F.expr(_BLOOM_SEEN))
+    return bloom.bloom_build(
+        seen.select("doc_id"), "doc_id", m=_BLOOM_M, k=_BLOOM_K
+    )
+
+
+def q_bloom_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-ingest gate: docs surviving the bloom filter
+    built on the seen half (seen docs always drop — no false negatives;
+    a deterministic ~2% of genuinely-new docs drop as false positives).
+    One-row bitmap broadcast + per-row verdict — zero probe shuffle."""
+    from wordscape_spark.operators import bloom
+
+    docs = _docs(spark, sf_dir)
+    words = bloom.bloom_build(
+        docs.filter(F.expr(_BLOOM_SEEN)).select("doc_id"),
+        "doc_id",
+        m=_BLOOM_M,
+        k=_BLOOM_K,
+    )
+    return bloom.bloom_new(
+        docs, words, "doc_id", m=_BLOOM_M, k=_BLOOM_K
+    ).select("doc_id", "lang")
+
+
 def q_doc_builtin_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8 over legacy .doc (r6): builtin paragraph styles written as a
     REAL Word-97 STSH stylesheet + PAPX istd runs (docgen_doc), recovered
@@ -3261,6 +3356,151 @@ def build_oracle_sql() -> dict[str, str]:
     oracles["odt_ingest"] = oracles["pdf_ingest"]
     oracles["odt_media"] = oracles["rtf_media"]
 
+    # DSIR: the full chain — tokenizer regex, unigram+bigram hashed
+    # features (md5-prefix buckets), additive smoothing, per-doc log
+    # weight — re-derived relationally; 6dp rounding absorbs summation
+    # order.  b is MATERIALIZED (used by both models, the totals and the
+    # weights — DuckDB re-inlines CTEs otherwise).
+    _dsir_chain = """
+    WITH ws AS MATERIALIZED (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang, unnest(w) AS g FROM ws
+      UNION ALL
+      SELECT doc_id, lang,
+             unnest(CASE WHEN len(w) >= 2
+                         THEN list_transform(range(1, len(w)),
+                                             i -> w[i] || ' ' || w[i + 1])
+                         ELSE CAST([] AS VARCHAR[]) END) AS g
+      FROM ws
+    ),
+    b AS MATERIALIZED (
+      SELECT doc_id, lang,
+             (('0x' || substr(md5(g), 1, 8))::BIGINT % 1024) AS bucket
+      FROM grams
+    ),
+    p AS (SELECT bucket, count(*) AS cp FROM b WHERE lang = 'en'
+          GROUP BY 1),
+    q AS (SELECT bucket, count(*) AS cq FROM b GROUP BY 1),
+    tot AS (
+      SELECT (SELECT count(*) FROM b WHERE lang = 'en')::DOUBLE AS tp,
+             (SELECT count(*) FROM b)::DOUBLE AS tq
+    ),
+    r AS (
+      SELECT gs.bucket,
+             ln((coalesce(cp, 0) + 0.5) / (tp + 0.5 * 1024))
+             - ln((coalesce(cq, 0) + 0.5) / (tq + 0.5 * 1024)) AS lr
+      FROM (SELECT range AS bucket FROM range(0, 1024)) gs
+      LEFT JOIN p USING (bucket) LEFT JOIN q USING (bucket), tot
+    ),
+    w AS (
+      SELECT b.doc_id, sum(lr) AS lw FROM b JOIN r USING (bucket)
+      GROUP BY 1
+    )
+    """
+    oracles["dsir_weights"] = (
+        _dsir_chain
+        + """
+    SELECT d.doc_id, round(coalesce(w.lw, 0.0), 6) AS log_weight
+    FROM documents d LEFT JOIN w USING (doc_id)
+    """
+    )
+    oracles["dsir_sample"] = (
+        _dsir_chain
+        + """
+    , sel AS (
+      SELECT d.doc_id, coalesce(w.lw, 0.0) AS lw,
+             coalesce(w.lw, 0.0) - ln(-ln(
+               ((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                  ::BIGINT + 0.5) / 4294967296.0))) AS key
+      FROM documents d LEFT JOIN w USING (doc_id)
+    )
+    SELECT doc_id, round(lw, 6) AS log_weight, round(key, 6) AS key
+    FROM sel ORDER BY key DESC, doc_id LIMIT 200
+    """
+    )
+
+    # temperature mixing: rates and the exact sampled set re-derived
+    # relationally (same pow/md5-uniform expressions).
+    _mix_rates_chain = """
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+    t AS (SELECT sum(n_docs)::DOUBLE AS n_total FROM c),
+    qd AS (SELECT sum(pow(n_docs / n_total, 0.3)) AS q_denom FROM c, t),
+    r AS (
+      SELECT lang, n_docs,
+             least(1.0, 0.5 * n_total
+                        * (pow(n_docs / n_total, 0.3) / q_denom)
+                        / n_docs) AS rate
+      FROM c, t, qd
+    )
+    """
+    oracles["mix_rates"] = (
+        _mix_rates_chain
+        + "SELECT lang, n_docs, round(rate, 6) AS rate FROM r"
+    )
+    oracles["mix_sample"] = (
+        _mix_rates_chain
+        + """
+    SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+    WHERE ((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+            + 0.5) / 4294967296.0) < rate
+    """
+    )
+
+    # bloom seen-set gate: double-hash positions, 63-bit word packing and
+    # the all-bits-set verdict re-derived relationally (63-bit words keep
+    # every shift in signed-BIGINT range in both engines — DuckDB raises
+    # on 1 << 63).  words is MATERIALIZED (probed once per probe word).
+    _bloom_chain = """
+    WITH hashes AS MATERIALIZED (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT AS h1,
+             ('0x' || substr(md5('bloom2:' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT AS h2
+      FROM documents
+    ),
+    seen_pos AS (
+      SELECT unnest(list_transform(range(0, 4),
+                                   i -> (h1 + i * h2) % 8192)) AS pos
+      FROM hashes WHERE h1 % 2 = 0
+    ),
+    words AS MATERIALIZED (
+      SELECT pos // 63 AS word_idx,
+             bit_or(1::BIGINT << (pos % 63)::INT) AS word
+      FROM seen_pos GROUP BY 1
+    )
+    """
+    oracles["bloom_bitmap"] = (
+        _bloom_chain + "SELECT word_idx, word FROM words"
+    )
+    oracles["bloom_new_docs"] = (
+        _bloom_chain
+        + """
+    , probe AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, 4),
+                                   i -> (h1 + i * h2) % 8192)) AS pos
+      FROM hashes
+    ),
+    verdict AS (
+      SELECT p.doc_id,
+             min(CASE WHEN (coalesce(w.word, 0)
+                            & (1::BIGINT << (p.pos % 63)::INT))
+                           = (1::BIGINT << (p.pos % 63)::INT)
+                      THEN 1 ELSE 0 END) AS seen
+      FROM probe p LEFT JOIN words w ON w.word_idx = p.pos // 63
+      GROUP BY 1
+    )
+    SELECT v.doc_id, d.lang FROM verdict v JOIN documents d USING (doc_id)
+    WHERE v.seen = 0
+    """
+    )
+
     # mixed-format routed ingestion: per-format expected text re-derived
     # with the rules the per-format oracles use (pdf, rtf AND odt:
     # verbatim body serialization; .doc: control-chars normalized by the
@@ -3710,6 +3950,12 @@ QUERIES = {
     "odt_ingest": q_odt_ingest,
     "odt_media": q_odt_media,
     "mixed_ingest": q_mixed_ingest,
+    "dsir_weights": q_dsir_weights,
+    "dsir_sample": q_dsir_sample,
+    "mix_rates": q_mix_rates,
+    "mix_sample": q_mix_sample,
+    "bloom_bitmap": q_bloom_bitmap,
+    "bloom_new_docs": q_bloom_new_docs,
     "doc_builtin_ingest": q_doc_builtin_ingest,
     "doc_style_roundtrip": q_doc_style_roundtrip,
     "acquire_http": q_acquire_http,
