@@ -1517,6 +1517,80 @@ def q_bloom_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+#: multi-host URL shape for the robots demo: one host per source, path
+#: carries lang + doc_id so per-language rules bite real prefixes
+_ROBOTS_URL = (
+    "concat('https://', source, '.example.com/', lang, '/', "
+    "CAST(doc_id AS STRING), '.docx')"
+)
+#: half the hosts publish a wordscape-specific group (md5 parity)
+_ROBOTS_P0 = (
+    "pmod(CAST(conv(substr(md5(host), 1, 8), 16, 10) AS BIGINT), 2) = 0"
+)
+#: the five demo rules: the '*' group everywhere; parity-0 hosts add a
+#: wordscape group (which then SHADOWS '*' there, RFC 9309 §2.2.1) with
+#: a longest-match allow carve-out and a wildcard+anchor pattern
+_ROBOTS_RULES = f"""
+  filter(array(
+    named_struct('agent', '*', 'rule', 'disallow', 'pattern', '/zh/'),
+    named_struct('agent', '*', 'rule', 'disallow',
+                 'pattern', '/es/*9.docx$'),
+    named_struct('agent', 'wordscape', 'rule', 'disallow',
+                 'pattern', '/de/'),
+    named_struct('agent', 'wordscape', 'rule', 'allow',
+                 'pattern', '/de/1'),
+    named_struct('agent', 'wordscape', 'rule', 'disallow',
+                 'pattern', '/fr/*7.docx$')
+  ), s -> s.agent = '*' OR ({_ROBOTS_P0}))
+"""
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots compliance verdicts over per-source hosts:
+    group shadowing, longest-match precedence, '*' wildcards and '$'
+    anchors all bite real rows at sf0.01.  The oracle re-derives the
+    entire chain — group selection, pattern→regex compilation
+    (including metachar escaping), precedence — relationally."""
+    from wordscape_spark.operators import robots
+
+    docs = _docs(spark, sf_dir)
+    urls = docs.select(F.expr(_ROBOTS_URL).alias("url"))
+    hosts = docs.select(
+        F.expr("concat(source, '.example.com')").alias("host")
+    ).distinct()
+    rules = hosts.select(
+        "host", F.explode(F.expr(_ROBOTS_RULES)).alias("r")
+    ).select("host", "r.agent", "r.rule", "r.pattern")
+    return robots.robots_verdicts(urls, rules).select("url", "allowed")
+
+
+def q_schedule_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness fetch schedule over the per-source hosts: md5-stream
+    decomposition (4 streams) so no window ever sorts a whole host, and
+    wave numbers that guarantee ≤1 URL per host per wave.  The oracle
+    replays the same rank/stream arithmetic relationally."""
+    from wordscape_spark.operators import scheduler
+
+    docs = _docs(spark, sf_dir)
+    urls = docs.select(
+        F.expr(_ROBOTS_URL).alias("url"),
+        F.expr("concat(source, '.example.com')").alias("host"),
+    )
+    return scheduler.schedule_waves(urls, n_streams=4).select("url", "wave")
+
+
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (window=32 tokens, stride=24 →
+    overlapping training windows) over the documents table — entirely
+    per-row, zero Exchange; the oracle re-derives the window geometry
+    with DuckDB list slicing."""
+    from wordscape_spark.operators import chunking
+
+    return chunking.chunk_documents(
+        _docs(spark, sf_dir), window=32, stride=24, keep_cols=("lang",)
+    )
+
+
 def q_doc_builtin_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8 over legacy .doc (r6): builtin paragraph styles written as a
     REAL Word-97 STSH stylesheet + PAPX istd runs (docgen_doc), recovered
@@ -3501,6 +3575,117 @@ def build_oracle_sql() -> dict[str, str]:
     """
     )
 
+    # robots gate: RFC 9309 group selection (EXISTS shadowing), the
+    # pattern→regex compiler (explicit \]/\[ escapes — Java rejects the
+    # POSIX ']'-first trick, RE2 accepts both; '\\\1' backref
+    # replacement — DuckDB literals are verbatim, no SQL unescaping) and
+    # longest-match/allow-tie precedence (QUALIFY row_number), all
+    # re-derived relationally on the same synthesized rule table.
+    oracles["robots_gate"] = r"""
+    WITH u AS MATERIALIZED (
+      SELECT 'https://' || source || '.example.com/' || lang || '/'
+             || CAST(doc_id AS VARCHAR) || '.docx' AS url,
+             source || '.example.com' AS host,
+             '/' || lang || '/' || CAST(doc_id AS VARCHAR) || '.docx'
+               AS path
+      FROM documents
+    ),
+    h AS (
+      SELECT DISTINCT host,
+             (('0x' || substr(md5(host), 1, 8))::BIGINT % 2 = 0) AS p0
+      FROM u
+    ),
+    rules AS MATERIALIZED (
+      SELECT host, agent, rule, pattern
+      FROM h, (VALUES
+        ('*', 'disallow', '/zh/', false),
+        ('*', 'disallow', '/es/*9.docx$', false),
+        ('wordscape', 'disallow', '/de/', true),
+        ('wordscape', 'allow', '/de/1', true),
+        ('wordscape', 'disallow', '/fr/*7.docx$', true)
+      ) v(agent, rule, pattern, wordscape_only)
+      WHERE NOT wordscape_only OR p0
+    ),
+    grp AS (
+      SELECT * FROM rules r
+      WHERE agent = 'wordscape'
+         OR (agent = '*' AND NOT EXISTS (
+               SELECT 1 FROM rules r2
+               WHERE r2.host = r.host AND r2.agent = 'wordscape'))
+    ),
+    rx AS (
+      SELECT host, rule, pattern,
+             '^' || replace(regexp_replace(
+                 CASE WHEN pattern LIKE '%$'
+                      THEN substr(pattern, 1, length(pattern) - 1)
+                      ELSE pattern END,
+                 '([\]\[.+?(){}^$|\\])', '\\\1', 'g'), '*', '.*')
+             || CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS regex
+      FROM grp
+    ),
+    hits AS (
+      SELECT u.url, length(r.pattern) AS plen,
+             r.rule = 'allow' AS is_allow
+      FROM u JOIN rx r USING (host)
+      WHERE regexp_matches(u.path, r.regex)
+    ),
+    v AS (
+      SELECT url, is_allow FROM hits
+      QUALIFY row_number() OVER (PARTITION BY url
+                                 ORDER BY plen DESC, is_allow DESC) = 1
+    )
+    SELECT u.url, coalesce(v.is_allow, true) AS allowed
+    FROM u LEFT JOIN v USING (url)
+    """
+
+    # politeness scheduler: identical md5 stream/rank/wave arithmetic.
+    oracles["schedule_waves"] = """
+    WITH u AS (
+      SELECT 'https://' || source || '.example.com/' || lang || '/'
+             || CAST(doc_id AS VARCHAR) || '.docx' AS url,
+             source || '.example.com' AS host
+      FROM documents
+    ),
+    k AS (
+      SELECT url, host,
+             ('0x' || substr(md5(url), 1, 8))::BIGINT AS h
+      FROM u
+    ),
+    r AS (
+      SELECT url, h % 4 AS stream,
+             row_number() OVER (PARTITION BY host, h % 4
+                                ORDER BY h, url) AS rnk
+      FROM k
+    )
+    SELECT url, CAST((rnk - 1) * 4 + stream AS BIGINT) AS wave FROM r
+    """
+
+    # context-window chunking: same whitespace tokens, same start
+    # arithmetic, DuckDB 1-based inclusive list slices (both engines
+    # clamp out-of-range ends).
+    oracles["chunk_windows"] = """
+    WITH ws AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\\s+'),
+                         w -> w <> '') AS w
+      FROM documents
+    )
+    SELECT doc_id, lang, s.chunk_idx, s.n_tokens, s.chunk
+    FROM (
+      SELECT doc_id, lang,
+             unnest(list_transform(
+               range(1, CAST(ceil(len(w) / 24.0) AS INT) + 1),
+               i -> struct_pack(
+                 chunk_idx := CAST(i - 1 AS INT),
+                 n_tokens := CAST(len(
+                   w[(i - 1) * 24 + 1 : (i - 1) * 24 + 32]) AS INT),
+                 chunk := array_to_string(
+                   w[(i - 1) * 24 + 1 : (i - 1) * 24 + 32], ' ')
+               ))) AS s
+      FROM ws WHERE len(w) > 0
+    )
+    """
+
     # mixed-format routed ingestion: per-format expected text re-derived
     # with the rules the per-format oracles use (pdf, rtf AND odt:
     # verbatim body serialization; .doc: control-chars normalized by the
@@ -3956,6 +4141,9 @@ QUERIES = {
     "mix_sample": q_mix_sample,
     "bloom_bitmap": q_bloom_bitmap,
     "bloom_new_docs": q_bloom_new_docs,
+    "robots_gate": q_robots_gate,
+    "chunk_windows": q_chunk_windows,
+    "schedule_waves": q_schedule_waves,
     "doc_builtin_ingest": q_doc_builtin_ingest,
     "doc_style_roundtrip": q_doc_style_roundtrip,
     "acquire_http": q_acquire_http,
