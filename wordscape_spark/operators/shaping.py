@@ -114,6 +114,81 @@ def token_budget_sample(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_streams: int | None = None,
+    add_eos: bool = True,
+) -> DataFrame:
+    """Concat-and-slice sequence packing — the GPT-pretraining step that
+    concatenates every document's tokens (plus one EOS separator when
+    ``add_eos``) into a stream and slices it into fixed ``seq_len``
+    training sequences, documents splitting across sequence boundaries
+    (the standard causal-LM loader geometry; contrast ``shard_pack``,
+    which never splits a document, and ``chunk_documents``, which
+    windows each document independently).
+
+    Returns one row per (document × sequence it overlaps):
+    ``(seq_id, doc_id, doc_from, doc_to, seq_off)`` — tokens
+    ``[doc_from, doc_to)`` of the document (0-based; index ``n_tokens``
+    is the EOS) occupy the sequence starting at offset ``seq_off``.
+    Every sequence is exactly ``seq_len`` tokens except each stream's
+    trailing remainder (the trainer drops or pads it).
+
+    Scale shape: the token stream is decomposed into ``n_streams`` md5
+    streams exactly like ``shard_pack`` — the cumulative-sum window
+    sorts ~1/n_streams of the corpus per partition, never the whole
+    corpus, and the per-(doc, sequence) fan-out is a per-row
+    ``explode(sequence(...))`` with no further shuffle.  Assignment is
+    deterministic in (stream, doc_id) order — retry/partitioning-stable
+    and replayable relationally by the oracle."""
+    from pyspark.sql.window import Window
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    if n_streams is None:
+        n_streams = shard_pack_streams(df.count())
+    eos = 1 if add_eos else 0
+    w = (
+        Window.partitionBy("_ps_stream")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    L = seq_len
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            (F.col(tokens_col).cast("long") + F.lit(eos)).alias("_ps_n"),
+        )
+        .filter(F.col("_ps_n") > eos)  # empty docs contribute nothing
+        .withColumn(
+            "_ps_stream", F.expr(stream_expr("doc_id", n_streams, "spark"))
+        )
+        .withColumn("_ps_end", F.sum("_ps_n").over(w))
+        .withColumn("_ps_start", F.col("_ps_end") - F.col("_ps_n"))
+        .select(
+            "doc_id", "_ps_stream", "_ps_n", "_ps_start",
+            F.explode(
+                F.expr(f"sequence(CAST(_ps_start / {L} AS BIGINT), "
+                       f"CAST((_ps_end - 1) / {L} AS BIGINT))")
+            ).alias("_ps_k"),
+        )
+        .select(
+            F.concat_ws("-", "_ps_stream", "_ps_k").alias("seq_id"),
+            "doc_id",
+            (F.greatest(F.col("_ps_start"), F.col("_ps_k") * L)
+             - F.col("_ps_start")).cast("int").alias("doc_from"),
+            (F.least(F.col("_ps_start") + F.col("_ps_n"),
+                     (F.col("_ps_k") + 1) * L)
+             - F.col("_ps_start")).cast("int").alias("doc_to"),
+            (F.greatest(F.col("_ps_start"), F.col("_ps_k") * L)
+             - F.col("_ps_k") * L).cast("int").alias("seq_off"),
+        )
+    )
+
+
 def stratified_sample(
     spans: DataFrame, pct_per_kind: dict[str, int], id_col: str = "doc_id"
 ) -> DataFrame:

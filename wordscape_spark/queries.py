@@ -1591,6 +1591,20 @@ def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-slice sequence packing (seq_len=64, EOS separators,
+    4 md5 streams): the GPT-loader geometry where documents split across
+    fixed-length training sequences.  Entirely window-cumsum + per-row
+    explode — the oracle replays the identical arithmetic relationally."""
+    df = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(T.token_exprs("text", "spark")["tokens_ws"]).alias("n_tokens"),
+    )
+    return SH.pack_sequences(df, seq_len=64, n_streams=4).select(
+        "seq_id", "doc_id", "doc_from", "doc_to", "seq_off"
+    )
+
+
 def q_doc_builtin_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8 over legacy .doc (r6): builtin paragraph styles written as a
     REAL Word-97 STSH stylesheet + PAPX istd runs (docgen_doc), recovered
@@ -2930,6 +2944,39 @@ def build_oracle_sql() -> dict[str, str]:
     SELECT doc_id, lang, tokens, cum_tokens FROM cum WHERE cum_tokens <= 500
     """
 
+    # sequence packing: the identical stream/cumsum/slice arithmetic —
+    # +1 EOS per doc, global token stream per md5 stream, 64-token
+    # slices, '//' (floor) division mirrors Spark's CAST(x/64 AS BIGINT)
+    # on the non-negative offsets
+    oracles["pack_sequences"] = f"""
+    WITH toks AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             {tok['tokens_ws']} + 1 AS n,
+             {SH.stream_expr('doc_id', 4, 'duckdb')} AS stream
+      FROM documents
+      WHERE {tok['tokens_ws']} > 0
+    ),
+    cum AS (
+      SELECT doc_id, n, stream,
+             CAST(sum(n) OVER (
+               PARTITION BY stream ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS e
+      FROM toks
+    ),
+    x AS (
+      SELECT doc_id, stream, e - n AS s, e,
+             unnest(range((e - n) // 64, (e - 1) // 64 + 1)) AS k
+      FROM cum
+    )
+    SELECT CAST(stream AS VARCHAR) || '-' || CAST(k AS VARCHAR) AS seq_id,
+           doc_id,
+           CAST(greatest(s, k * 64) - s AS INT) AS doc_from,
+           CAST(least(e, (k + 1) * 64) - s AS INT) AS doc_to,
+           CAST(greatest(s, k * 64) - k * 64 AS INT) AS seq_off
+    FROM x
+    """
+
     oracles["shape_sample"] = f"""
     SELECT doc_id, source FROM documents
     WHERE {SH._bucket_expr('doc_id', 'duckdb')} < 37
@@ -4144,6 +4191,7 @@ QUERIES = {
     "robots_gate": q_robots_gate,
     "chunk_windows": q_chunk_windows,
     "schedule_waves": q_schedule_waves,
+    "pack_sequences": q_pack_sequences,
     "doc_builtin_ingest": q_doc_builtin_ingest,
     "doc_style_roundtrip": q_doc_style_roundtrip,
     "acquire_http": q_acquire_http,
