@@ -411,3 +411,63 @@ def test_url_quality_filter_blocklist_df_matches_literal(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
     assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------------------- domain cap
+
+
+def test_domain_cap_bounds_and_determinism(spark):
+    from wordscape_spark.operators import urls as U
+
+    rows = [
+        (i, f"https://{dom}/p/{i}", dom)
+        for i, dom in enumerate(
+            ["big.com"] * 40 + ["mid.com"] * 6 + ["tiny.com"]
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, domain string")
+    got = U.domain_cap(df, max_per_domain=8, n_streams=4).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["domain"], set()).add(r["doc_id"])
+    # hard upper bound everywhere; small domains pass through whole
+    assert len(per["big.com"]) <= 8
+    assert len(per["tiny.com"]) == 1
+    assert len(per["mid.com"]) <= 6
+    # deterministic under repartitioning
+    again = U.domain_cap(
+        df.repartition(7), max_per_domain=8, n_streams=4
+    ).collect()
+    assert {(r["domain"], r["doc_id"]) for r in again} == {
+        (r["domain"], r["doc_id"]) for r in got
+    }
+
+
+def test_domain_cap_window_partitions_by_stream(spark):
+    from wordscape_spark.operators import urls as U
+
+    df = spark.createDataFrame(
+        [(1, "u", "d")], "doc_id long, url string, domain string"
+    )
+    plan = (
+        U.domain_cap(df, max_per_domain=8, n_streams=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # every hash Exchange carries the stream key: no whole-domain sort
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "_dc_stream" in line, line
+
+
+def test_domain_cap_validation(spark):
+    from wordscape_spark.operators import urls as U
+
+    df = spark.createDataFrame(
+        [(1, "u", "d")], "doc_id long, url string, domain string"
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        U.domain_cap(df, max_per_domain=0)

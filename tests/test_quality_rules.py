@@ -527,3 +527,45 @@ def test_substring_dedup_overlapping_grams_union(spark):
     assert out["f1"]["clean_text"] == "tail1 tailx"
     assert out["f1"]["n_words_removed"] == 5
     assert out["f1"]["n_dup_grams"] == 2
+
+
+# ------------------------------------------------------------ lexical stats
+
+
+def test_lexical_stats_matches_math(spark):
+    import math
+
+    rows = [
+        (1, "a a a a"),           # zero entropy, ttr 0.25
+        (2, "a b c d"),           # max entropy ln(4), ttr 1.0
+        (3, "x x y"),             # H = ln(3) - (2 ln 2)/3
+        (4, ""),                  # dropped
+        (5, None),                # dropped
+        (6, "  Mixed   CASE mixed case  "),  # lowercased, ttr 0.5
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from wordscape_spark.operators import quality_rules as QR
+
+    got = {r["doc_id"]: r.asDict() for r in QR.lexical_stats(df).collect()}
+    assert set(got) == {1, 2, 3, 6}
+    assert got[1]["n_words"] == 4 and got[1]["n_unique"] == 1
+    assert got[1]["entropy"] == 0.0 and got[1]["ttr"] == 0.25
+    assert got[2]["entropy"] == round(math.log(4), 6)
+    assert got[2]["ttr"] == 1.0
+    assert got[3]["entropy"] == round(
+        math.log(3) - (2 * math.log(2)) / 3, 6
+    )
+    assert got[6]["n_words"] == 4 and got[6]["n_unique"] == 2
+
+
+def test_lexical_stats_plan_no_exchange(spark):
+    from wordscape_spark.operators import quality_rules as QR
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = (
+        QR.lexical_stats(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

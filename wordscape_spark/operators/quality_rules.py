@@ -759,3 +759,62 @@ def dup_ngram_coverage(
         F.col(id_col).alias("doc_id"),
         F.coalesce(F.col(text_col), F.lit("")).alias("t"),
     ).mapInPandas(batch_fn, schema=schema)
+
+
+def lexical_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document lexical-diversity signals: word count, unique-word
+    count, type-token ratio, and unigram (Shannon) entropy in nats —
+    the low-entropy/low-TTR tail is keyword-stuffing and template spam
+    (RedPajama-v2's ``rps_doc_unique_words`` family, Together 2023;
+    Gopher's repetition rationale, Rae et al. 2021 §A1.1).
+
+    Entirely per-row, zero Exchange: the per-word counts come from a
+    run-length scan over the SORTED word array with an ``aggregate``
+    state (the ``top_ngram_metrics`` shape) — the entropy sum
+    telescopes as ``run*ln(run) - (run-1)*ln(run-1)`` per step, so no
+    per-word map is ever materialized.  ``H = ln(n) - s/n`` with
+    ``s = sum(c_i * ln(c_i))``.  Docs with no words are dropped (both
+    dialects).  The oracle is an INDEPENDENT relational re-derivation
+    (explode -> group -> sum), not a transliteration."""
+    words = (
+        f"filter(split(lower(coalesce({text_col}, '')), '\\\\s+'),"
+        " w -> w != '')"
+    )
+    run = "IF(x = a.prev, a.run + 1L, 1L)"
+    s = (
+        "aggregate(array_sort(words), "
+        "named_struct('prev', CAST('' AS STRING), 'run', 0L, 's', 0.0D), "
+        "(a, x) -> named_struct("
+        "'prev', x, "
+        f"'run', {run}, "
+        f"'s', a.s + {run} * ln({run}) "
+        f"- ({run} - 1L) * ln(greatest({run} - 1L, 1L))), "
+        "a -> a.s)"
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(words).alias("words"),
+        )
+        .withColumn("n_words", F.size("words").cast("long"))
+        .filter(F.col("n_words") > 0)
+        .withColumn(
+            "n_unique", F.expr("size(array_distinct(words))").cast("long")
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_unique",
+            F.expr(
+                "round(CAST(n_unique AS DOUBLE) / n_words, 6)"
+            ).alias("ttr"),
+            # greatest(...): entropy is mathematically >= 0; the
+            # telescoped float sum can land at -1e-16, which round()
+            # would keep as -0.0 ('-0' in the driver's value hash)
+            F.expr(
+                f"round(greatest(ln(n_words) - {s} / n_words, 0.0D), 6)"
+            ).alias("entropy"),
+        )
+    )

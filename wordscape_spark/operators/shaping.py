@@ -55,6 +55,41 @@ def deterministic_sample(
     return df.filter(F.expr(f"{_bucket_expr(id_col, 'spark')} < {pct}"))
 
 
+DEFAULT_SPLITS = {"train": 98, "val": 1, "test": 1}
+
+
+def split_expr(
+    id_col: str, weights: dict[str, int], dialect: str
+) -> str:
+    """Deterministic train/val/test (or any named-split) label from the
+    id's md5 bucket — the standard leakage-safe split for training
+    corpora: stable under repartitioning, retries and re-runs (Spark's
+    ``randomSplit`` is none of those), and any later document joins back
+    to its split by id alone.  ``weights`` are integer percents summing
+    to 100; thresholds are cumulative in dict order."""
+    if sum(weights.values()) != 100:
+        raise ValueError("split weights must sum to 100")
+    bucket = _bucket_expr(id_col, dialect)
+    names = list(weights)
+    whens, acc = [], 0
+    for name in names[:-1]:
+        acc += weights[name]
+        whens.append(f"WHEN {bucket} < {acc} THEN '{name}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+
+
+def assign_split(
+    df: DataFrame,
+    weights: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Add a ``split`` column (per-row expression, zero Exchange)."""
+    weights = DEFAULT_SPLITS if weights is None else weights
+    return df.withColumn(
+        "split", F.expr(split_expr(id_col, weights, "spark"))
+    )
+
+
 def stream_expr(col: str, n_streams: int, dialect: str) -> str:
     """Deterministic 0..n_streams-1 stream id from an id column (md5 prefix,
     stable under retries/repartitioning, mirrorable in DuckDB)."""

@@ -218,3 +218,55 @@ def url_quality_filter(
         "url_pass",
         ~F.col("blocked_domain") & (F.col("url_score") < score_cutoff),
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    max_per_domain: int,
+    host_col: str = "domain",
+    key_col: str = "url",
+    n_streams: int | None = None,
+) -> DataFrame:
+    """RefinedWeb-style per-domain document cap (Penedo et al. 2023
+    §3.1 keeps a bounded number of documents per registered domain so
+    no single site dominates the corpus): keep a deterministic subset
+    of at most ``max_per_domain`` rows per domain, selected by md5
+    order of ``key_col``.
+
+    Scale shape — the mega-domain trap: the naive cap is
+    ``row_number() OVER (PARTITION BY domain) <= N``, which sorts every
+    row of the dominant domain in ONE task.  Here each domain
+    decomposes into ``n_streams`` md5 streams (the scheduler/shard_pack
+    device) with per-stream quotas ``N div S`` (+1 for the first
+    ``N mod S`` streams): every sort partition is bounded at
+    ~|domain|/n_streams, and the cap holds exactly as an upper bound.
+    Residual approximation (same note as ``shard_pack``'s overflow): a
+    domain with MORE than N rows can keep fewer than N when its stream
+    distribution is skewed (an under-filled stream's quota is not
+    re-granted elsewhere) — acceptable for corpus balancing, where the
+    cap is the contract and the exact membership is free.
+    """
+    from pyspark.sql.window import Window
+
+    if max_per_domain <= 0:
+        raise ValueError("max_per_domain must be positive")
+    if n_streams is None:
+        n_streams = min(16, max_per_domain)
+    h = (
+        f"CAST(conv(substr(md5(CAST({key_col} AS STRING)), 1, 8), 16, 10)"
+        f" AS BIGINT)"
+    )
+    base, extra = divmod(max_per_domain, n_streams)
+    w = Window.partitionBy(host_col, "_dc_stream").orderBy(
+        "_dc_key", key_col
+    )
+    return (
+        df.withColumn("_dc_stream", F.expr(f"pmod({h}, {n_streams})"))
+        .withColumn("_dc_key", F.expr(h))
+        .withColumn("_dc_rank", F.row_number().over(w))
+        .filter(
+            F.col("_dc_rank")
+            <= F.lit(base) + F.when(F.col("_dc_stream") < extra, 1).otherwise(0)
+        )
+        .drop("_dc_stream", "_dc_key", "_dc_rank")
+    )

@@ -30,6 +30,7 @@ from wordscape_spark.operators import multimodal as MM
 from wordscape_spark.operators import shaping as SH
 from wordscape_spark.operators import similarity as SIM
 from wordscape_spark.operators import text as T
+from wordscape_spark.operators import bpe as BPE
 from wordscape_spark.operators import urls as U
 
 ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's comparison scale
@@ -1605,6 +1606,82 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_MERGES = 8  # unrolled in the oracle: keep small
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training (Sennrich et al. 2016): one
+    corpus-scale word histogram, then 8 merge rounds over the distinct-
+    word histogram (pair-count agg + bounded 1-row argmax collect +
+    literal delimited-string replace).  The oracle replays all 8 rounds
+    as generated CTEs — histogram, pair zip, tie-break and left-to-right
+    replace have identical semantics in both engines."""
+    merges = BPE.bpe_train(_docs(spark, sf_dir), n_merges=_BPE_MERGES)
+    return BPE.merges_table(spark, merges)
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize every document under the trained BPE merges: char-seed
+    words, join with double spaces (word boundaries can't merge), apply
+    the 8 merges in rank order, count tokens — all per-row, zero
+    Exchange after training.  The oracle re-derives the merge table AND
+    the encoding, so a green row proves the whole train->encode path."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    merges = BPE.bpe_train(docs, n_merges=_BPE_MERGES)
+    return BPE.bpe_encode(docs, merges)
+
+
+def q_data_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based train/val/test assignment (98/1/1) with per-split
+    document and token accounting — the leakage-safe deterministic
+    split every training corpus needs (stable under repartitioning and
+    retries, unlike randomSplit)."""
+    df = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(T.token_exprs("text", "spark")["tokens_ws"]).alias("n_tokens"),
+    )
+    return (
+        SH.assign_split(df)
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+    )
+
+
+def q_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc lexical diversity (type-token ratio + unigram entropy in
+    nats): the spam/template tail detector.  Entirely per-row — the
+    per-word counts come from a run-length scan over the sorted word
+    array (telescoped entropy sum), zero Exchange.  The oracle is an
+    independent relational re-derivation (explode -> group -> sum)."""
+    from wordscape_spark.operators import quality_rules as QR
+
+    return QR.lexical_stats(
+        _docs(spark, sf_dir).withColumn(
+            "doc_id", F.col("doc_id").cast("long")
+        )
+    )
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb per-domain cap (≤8 docs/domain, 4 md5 streams with
+    per-stream quotas): no window ever sorts a whole domain.  The
+    oracle replays the stream/quota arithmetic relationally."""
+    docs = _docs(spark, sf_dir)
+    urls = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(_ROBOTS_URL).alias("url"),
+        F.expr("concat(source, '.example.com')").alias("domain"),
+    )
+    return U.domain_cap(urls, max_per_domain=8, n_streams=4).select(
+        "doc_id", "domain"
+    )
+
+
 def q_doc_builtin_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8 over legacy .doc (r6): builtin paragraph styles written as a
     REAL Word-97 STSH stylesheet + PAPX istd runs (docgen_doc), recovered
@@ -2977,6 +3054,25 @@ def build_oracle_sql() -> dict[str, str]:
     FROM x
     """
 
+    # BPE: the training oracle unrolls the 8 merge rounds as generated
+    # CTEs (operators/bpe.py:train_ctes); the encode oracle re-derives
+    # the merges AND applies them per document
+    _bpe_ctes, _bpe_union = BPE.train_ctes("documents", _BPE_MERGES)
+    oracles["bpe_train"] = (
+        f"WITH {_bpe_ctes} "
+        f"SELECT rank, lhs, rhs, freq FROM ({_bpe_union})"
+    )
+    _enc_ctes, _enc_final = BPE.encode_ctes("documents", _BPE_MERGES)
+    oracles["bpe_encode"] = f"WITH {_enc_ctes} {_enc_final}"
+
+    oracles["data_splits"] = f"""
+    SELECT {SH.split_expr('doc_id', SH.DEFAULT_SPLITS, 'duckdb')} AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM({tok['tokens_ws']}) AS BIGINT) AS sum_tokens
+    FROM documents
+    GROUP BY 1
+    """
+
     oracles["shape_sample"] = f"""
     SELECT doc_id, source FROM documents
     WHERE {SH._bucket_expr('doc_id', 'duckdb')} < 37
@@ -3707,6 +3803,53 @@ def build_oracle_sql() -> dict[str, str]:
     SELECT url, CAST((rnk - 1) * 4 + stream AS BIGINT) AS wave FROM r
     """
 
+    # per-domain cap: same md5 stream decomposition, per-stream quota
+    # 8 div 4 = 2 (no remainder)
+    oracles["domain_cap"] = """
+    WITH u AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             'https://' || source || '.example.com/' || lang || '/'
+             || CAST(doc_id AS VARCHAR) || '.docx' AS url,
+             source || '.example.com' AS domain
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, domain, url,
+             ('0x' || substr(md5(url), 1, 8))::BIGINT AS h
+      FROM u
+    ),
+    r AS (
+      SELECT doc_id, domain,
+             row_number() OVER (PARTITION BY domain, h % 4
+                                ORDER BY h, url) AS rnk
+      FROM k
+    )
+    SELECT doc_id, domain FROM r WHERE rnk <= 2
+    """
+
+    # lexical stats: INDEPENDENT relational re-derivation of the
+    # run-length entropy scan (explode -> per-word counts -> sums)
+    oracles["lexical_stats"] = """
+    WITH w AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             unnest(list_filter(
+               regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+               x -> x <> '')) AS word
+      FROM documents
+    ),
+    c AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, SUM(c) AS n, COUNT(*) AS u, SUM(c * ln(c)) AS s
+      FROM c GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_words,
+           CAST(u AS BIGINT) AS n_unique,
+           round(u / CAST(n AS DOUBLE), 6) AS ttr,
+           round(greatest(ln(n) - s / n, 0), 6) AS entropy
+    FROM agg
+    """
+
     # context-window chunking: same whitespace tokens, same start
     # arithmetic, DuckDB 1-based inclusive list slices (both engines
     # clamp out-of-range ends).
@@ -4192,6 +4335,8 @@ QUERIES = {
     "chunk_windows": q_chunk_windows,
     "schedule_waves": q_schedule_waves,
     "pack_sequences": q_pack_sequences,
+    "bpe_encode": q_bpe_encode,
+    "data_splits": q_data_splits,
     "doc_builtin_ingest": q_doc_builtin_ingest,
     "doc_style_roundtrip": q_doc_style_roundtrip,
     "acquire_http": q_acquire_http,
@@ -4219,7 +4364,12 @@ QUERIES = {
     "langid": q_langid,
     "normalize": q_normalize,
     "token_counts": q_token_counts,
-    # --- touched by r6 code changes: fresh rows wanted ---
+    # --- out of the 50-slot window; oracle-verified by pytest parity,
+    # bpe_train additionally implied by bpe_encode's train-rederiving
+    # oracle; gopher_quality/langid_train were r5-green, due r7 ---
+    "bpe_train": q_bpe_train,
+    "lexical_stats": q_lexical_stats,
+    "domain_cap": q_domain_cap,
     "gopher_quality": q_gopher_quality,
     "langid_train": q_langid_train,
     "wat_doc_urls": q_wat_doc_urls,
