@@ -106,3 +106,43 @@ def test_whole_stage_codegen_for_native_ops(spark):
     plan = _plan(T.with_langid(T.with_metrics(docs)))
     assert "*(" in plan  # WholeStageCodegen stage marker
     assert "BatchEvalPython" not in plan  # zero row-at-a-time python
+
+
+# --------------------------------------------------------- pretrain plan
+
+
+def test_pretrain_prep_invariants(spark):
+    from wordscape_spark.operators import bpe as BPE
+    from wordscape_spark.plans import pretrain as PT
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    res = PT.pretrain_prep(docs, n_merges=4, seq_len=32, n_streams=2)
+
+    # leakage: merges identical to training on the train split alone
+    train_only = res["splits"].filter("split = 'train'")
+    assert res["merges"] == BPE.bpe_train(train_only, n_merges=4)
+
+    audit = {r["split"]: r.asDict() for r in PT.split_audit(res).collect()}
+    assert set(audit) <= {"train", "val", "test"}
+    assert sum(a["n_docs"] for a in audit.values()) == docs.count()
+
+    # token conservation per split: packed slices cover every encoded
+    # token plus one EOS per non-empty doc
+    enc = {
+        (r["split"], r["doc_id"]): r["n_tokens"]
+        for r in res["encoded"].collect()
+    }
+    packed = res["packed"].collect()
+    covered: dict[str, int] = {}
+    for r in packed:
+        split = r["seq_id"].split("-")[0]
+        covered[split] = covered.get(split, 0) + (r["doc_to"] - r["doc_from"])
+    for split, a in audit.items():
+        nonempty = sum(
+            1 for (s, _), n in enc.items() if s == split and n > 0
+        )
+        assert covered.get(split, 0) == a["sum_tokens"] + nonempty
+        if a["n_seqs"]:
+            assert a["n_seqs"] == len(
+                {r["seq_id"] for r in packed if r["seq_id"].startswith(split)}
+            )

@@ -241,23 +241,33 @@ def train_ctes(src: str, n_merges: int) -> tuple[str, str]:
     return ",\n    ".join(ctes), union
 
 
-def encode_ctes(src: str, n_merges: int) -> tuple[str, str]:
+def encode_ctes(
+    src: str,
+    n_merges: int,
+    train_src: str | None = None,
+    keep_cols: tuple[str, ...] = (),
+) -> tuple[str, str]:
     """Train CTEs + a per-document replace chain: returns
-    ``(cte_block, final_select)`` for the ``bpe_encode`` oracle."""
-    train, _ = train_ctes(src, n_merges)
+    ``(cte_block, final_select)`` for the ``bpe_encode`` oracle.
+    ``train_src`` trains the merges on a different relation than the one
+    being encoded (the leakage-safe train-split-only setup);
+    ``keep_cols`` ride payload columns through the chain."""
+    train, _ = train_ctes(train_src or src, n_merges)
     seed = doc_seed_expr("text", "duckdb")
+    cols = "".join(f"{c}, " for c in keep_cols)
     ctes = [
-        f"d0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {seed} AS s "
+        f"d0 AS (SELECT {cols}CAST(doc_id AS BIGINT) AS doc_id, {seed} AS s "
         f"FROM {src})"
     ]
     for i in range(1, n_merges + 1):
         ctes.append(
-            f"d{i} AS (SELECT doc_id, replace(s, "
+            f"d{i} AS (SELECT {cols}doc_id, replace(s, "
             f"' ' || b.lhs || ' ' || b.rhs || ' ', "
             f"' ' || b.lhs || b.rhs || ' ') AS s FROM d{i - 1}, b{i} b)"
         )
     final = (
-        f"SELECT doc_id, CAST(len(regexp_extract_all(s, '\\S+')) AS BIGINT)"
+        f"SELECT {cols}doc_id, "
+        f"CAST(len(regexp_extract_all(s, '\\S+')) AS BIGINT)"
         f" AS n_tokens FROM d{n_merges}"
     )
     return train + ",\n    " + ",\n    ".join(ctes), final

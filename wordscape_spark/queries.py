@@ -1682,6 +1682,29 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pretrain_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-prep job as one plan (plans/pretrain.py): md5 splits
+    → BPE trained on the TRAIN split only (leakage-safe) → corpus-wide
+    encoding → per-split sequence packing, audited per split as
+    (n_docs, sum_tokens, n_seqs).  The oracle re-derives every stage —
+    split thresholds, the unrolled merge rounds over the train split,
+    the encode chain, and the stream/cumsum/slice packing."""
+    from wordscape_spark.plans import pretrain as PT
+
+    res = PT.pretrain_prep(_docs(spark, sf_dir))
+    return PT.split_audit(res)
+
+
+def q_pretrain_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-level pin of the same chain: the exact packed loader
+    geometry (seq_id, doc_id, doc_from, doc_to, seq_off) across all
+    three splits under the train-split-trained vocabulary."""
+    from wordscape_spark.plans import pretrain as PT
+
+    res = PT.pretrain_prep(_docs(spark, sf_dir))
+    return res["packed"]
+
+
 def q_doc_builtin_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8 over legacy .doc (r6): builtin paragraph styles written as a
     REAL Word-97 STSH stylesheet + PAPX istd runs (docgen_doc), recovered
@@ -3065,6 +3088,64 @@ def build_oracle_sql() -> dict[str, str]:
     _enc_ctes, _enc_final = BPE.encode_ctes("documents", _BPE_MERGES)
     oracles["bpe_encode"] = f"WITH {_enc_ctes} {_enc_final}"
 
+    # pretrain plan: split thresholds + train-split-only BPE (unrolled
+    # rounds) + corpus-wide encode + per-(split, stream) packing — one
+    # generated CTE chain replaying plans/pretrain.py end-to-end
+    _pt_split = SH.split_expr("doc_id", SH.DEFAULT_SPLITS, "duckdb")
+    _pt_enc_ctes, _pt_enc_final = BPE.encode_ctes(
+        "pt_base", _BPE_MERGES, train_src="pt_train", keep_cols=("split",)
+    )
+    _pt_common = f"""
+    WITH pt_base AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+             {_pt_split} AS split
+      FROM documents
+    ),
+    pt_train AS (SELECT doc_id, text FROM pt_base WHERE split = 'train'),
+    {_pt_enc_ctes},
+    enc AS ({_pt_enc_final}),
+    pt_toks AS (
+      SELECT doc_id, split, n_tokens + 1 AS n,
+             {SH.stream_expr('doc_id', 4, 'duckdb')} AS stream
+      FROM enc
+      WHERE n_tokens > 0
+    ),
+    pt_cum AS (
+      SELECT doc_id, split, n, stream,
+             CAST(sum(n) OVER (
+               PARTITION BY split, stream ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS e
+      FROM pt_toks
+    ),
+    pt_x AS (
+      SELECT doc_id, split, stream, e - n AS s, e,
+             unnest(range((e - n) // 64, (e - 1) // 64 + 1)) AS k
+      FROM pt_cum
+    ),
+    packed AS (
+      SELECT split || '-' || CAST(stream AS VARCHAR) || '-'
+               || CAST(k AS VARCHAR) AS seq_id,
+             split, doc_id,
+             CAST(greatest(s, k * 64) - s AS INT) AS doc_from,
+             CAST(least(e, (k + 1) * 64) - s AS INT) AS doc_to,
+             CAST(greatest(s, k * 64) - k * 64 AS INT) AS seq_off
+      FROM pt_x
+    )"""
+    oracles["pretrain_funnel"] = f"""{_pt_common}
+    SELECT e.split, e.n_docs, e.sum_tokens,
+           COALESCE(p.n_seqs, 0) AS n_seqs
+    FROM (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+          FROM enc GROUP BY 1) e
+    LEFT JOIN (SELECT split,
+                      CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs
+               FROM packed GROUP BY 1) p USING (split)
+    """
+    oracles["pretrain_sequences"] = f"""{_pt_common}
+    SELECT seq_id, doc_id, doc_from, doc_to, seq_off FROM packed
+    """
+
     oracles["data_splits"] = f"""
     SELECT {SH.split_expr('doc_id', SH.DEFAULT_SPLITS, 'duckdb')} AS split,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -4370,6 +4451,8 @@ QUERIES = {
     "bpe_train": q_bpe_train,
     "lexical_stats": q_lexical_stats,
     "domain_cap": q_domain_cap,
+    "pretrain_funnel": q_pretrain_funnel,
+    "pretrain_sequences": q_pretrain_sequences,
     "gopher_quality": q_gopher_quality,
     "langid_train": q_langid_train,
     "wat_doc_urls": q_wat_doc_urls,
