@@ -93,3 +93,68 @@ def test_plan_is_exchange_free(docs):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+# ------------------------------------------------------------------ FIM
+
+
+def _fim(spark, rows, **kw):
+    from wordscape_spark.operators import chunking
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r["doc_id"]: r.asDict()
+        for r in chunking.fim_transform(df, **kw).collect()
+    }
+
+
+def test_fim_reconstruction(spark):
+    rows = [(i, f"doc {i} " + "abcdefghij klmnop qrstuv wxyz " * 3)
+            for i in range(40)]
+    out = _fim(spark, rows, rate_pct=100)
+    for i, text in rows:
+        r = out[i]
+        assert r["fim_applied"]
+        s = r["text_out"]
+        assert s.startswith("<PRE>")
+        pre, rest = s[5:].split("<SUF>", 1)
+        suf, mid = rest.split("<MID>", 1)
+        assert pre + mid + suf == text  # PSM reorders, loses nothing
+
+
+def test_fim_passthrough_cases(spark):
+    rows = [(1, "short"), (2, None), (3, "x" * 100)]
+    out = _fim(spark, rows, rate_pct=0)
+    assert all(not r["fim_applied"] for r in out.values())
+    assert out[3]["text_out"] == "x" * 100
+    assert out[2]["text_out"] == ""  # null text -> empty passthrough
+    # below min_chars: never transformed even at rate 100
+    out = _fim(spark, rows, rate_pct=100)
+    assert not out[1]["fim_applied"] and out[1]["text_out"] == "short"
+
+
+def test_fim_deterministic_and_rate(spark):
+    rows = [(i, "word " * 30) for i in range(200)]
+    from wordscape_spark.operators import chunking
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r["text_out"]
+         for r in chunking.fim_transform(df).collect()}
+    b = {r["doc_id"]: r["text_out"]
+         for r in chunking.fim_transform(df.repartition(11)).collect()}
+    assert a == b
+    applied = sum(1 for v in a.values() if v.startswith("<PRE>"))
+    assert 70 <= applied <= 130  # ~50% of 200
+
+
+def test_fim_plan_no_exchange(spark):
+    from wordscape_spark.operators import chunking
+
+    df = spark.createDataFrame([(1, "y" * 50)], "doc_id long, text string")
+    plan = (
+        chunking.fim_transform(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

@@ -77,3 +77,61 @@ def chunk_documents(
         df.select(id_col, *keep_cols, F.explode(F.expr(guarded)).alias("c"))
         .select(id_col, *keep_cols, "c.chunk_idx", "c.n_tokens", "c.chunk")
     )
+
+
+# ------------------------------------------------------------------ FIM
+
+
+def fim_transform(
+    docs: DataFrame,
+    rate_pct: int = 50,
+    min_chars: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022; the
+    StarCoder/code-model data-prep step): for a deterministic
+    ``rate_pct``% of documents, cut the text at two md5-derived
+    character positions and emit PSM order —
+    ``<PRE> prefix <SUF> suffix <MID> middle`` — so the trainer learns
+    infilling; the rest (and documents shorter than ``min_chars``) pass
+    through unchanged.
+
+    Determinism: the apply decision is the doc id's md5 bucket and the
+    two cut points are md5 integers of ``id || ':fim1' / ':fim2'`` mod
+    ``len+1`` (order-normalized) — stable under repartitioning/retries
+    and replayable relationally.  Entirely per-row, zero Exchange.
+
+    Tokens-vs-chars boundary: real FIM cuts at token boundaries after
+    tokenization; the ENGINE owes the deterministic geometry, which is
+    character-level here (the same relationship ``chunk_documents``
+    has to real BPE windows)."""
+    if not 0 <= rate_pct <= 100:
+        raise ValueError("rate_pct must be in [0, 100]")
+
+    def h(salt: str) -> str:
+        return (
+            f"CAST(conv(substr(md5(concat(CAST({id_col} AS STRING),"
+            f" '{salt}')), 1, 8), 16, 10) AS BIGINT)"
+        )
+
+    bucket = f"pmod({h(':fim')}, 100)"
+    t = f"coalesce({text_col}, '')"
+    apply = (
+        f"({bucket} < {rate_pct}) AND (length({t}) >= {min_chars})"
+    )
+    cut_a = f"pmod({h(':fim1')}, length({t}) + 1)"
+    cut_b = f"pmod({h(':fim2')}, length({t}) + 1)"
+    lo, hi = f"least({cut_a}, {cut_b})", f"greatest({cut_a}, {cut_b})"
+    fim = (
+        f"concat('<PRE>', substring({t}, 1, {lo}), "
+        f"'<SUF>', substring({t}, {hi} + 1, length({t}) - ({hi})), "
+        f"'<MID>', substring({t}, {lo} + 1, ({hi}) - ({lo})))"
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(apply).alias("fim_applied"),
+        F.expr(f"CASE WHEN {apply} THEN {fim} ELSE {t} END").alias(
+            "text_out"
+        ),
+    )

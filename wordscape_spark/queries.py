@@ -1705,6 +1705,19 @@ def q_pretrain_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res["packed"]
 
 
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle data prep (PSM order, 50% deterministic rate,
+    md5-derived cut points): per-row, zero Exchange; the oracle replays
+    the bucket/cut/substring arithmetic in DuckDB."""
+    from wordscape_spark.operators import chunking
+
+    return chunking.fim_transform(
+        _docs(spark, sf_dir).withColumn(
+            "doc_id", F.col("doc_id").cast("long")
+        )
+    )
+
+
 def q_doc_builtin_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8 over legacy .doc (r6): builtin paragraph styles written as a
     REAL Word-97 STSH stylesheet + PAPX istd runs (docgen_doc), recovered
@@ -3884,6 +3897,36 @@ def build_oracle_sql() -> dict[str, str]:
     SELECT url, CAST((rnk - 1) * 4 + stream AS BIGINT) AS wave FROM r
     """
 
+    # FIM: identical bucket/cut/substring arithmetic ('%' == pmod on the
+    # non-negative md5 ints; both substr dialects are 1-based,
+    # zero-length-safe)
+    oracles["fim_transform"] = """
+    WITH f AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             coalesce(text, '') AS t,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fim'),
+               1, 8))::BIGINT % 100) AS bucket,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fim1'),
+               1, 8))::BIGINT % (length(coalesce(text, '')) + 1)) AS ca,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fim2'),
+               1, 8))::BIGINT % (length(coalesce(text, '')) + 1)) AS cb
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, t,
+             (bucket < 50 AND length(t) >= 20) AS fim_applied,
+             least(ca, cb) AS lo, greatest(ca, cb) AS hi
+      FROM f
+    )
+    SELECT doc_id, fim_applied,
+           CASE WHEN fim_applied THEN
+             '<PRE>' || substr(t, 1, lo)
+             || '<SUF>' || substr(t, hi + 1, length(t) - hi)
+             || '<MID>' || substr(t, lo + 1, hi - lo)
+           ELSE t END AS text_out
+    FROM g
+    """
+
     # per-domain cap: same md5 stream decomposition, per-stream quota
     # 8 div 4 = 2 (no remainder)
     oracles["domain_cap"] = """
@@ -4453,6 +4496,7 @@ QUERIES = {
     "domain_cap": q_domain_cap,
     "pretrain_funnel": q_pretrain_funnel,
     "pretrain_sequences": q_pretrain_sequences,
+    "fim_transform": q_fim_transform,
     "gopher_quality": q_gopher_quality,
     "langid_train": q_langid_train,
     "wat_doc_urls": q_wat_doc_urls,
