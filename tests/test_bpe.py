@@ -141,3 +141,45 @@ def test_split_deterministic_and_exhaustive(spark):
     counts = Counter(a.values())
     assert set(counts) <= {"train", "val", "test"}
     assert counts["train"] > 900  # 98% nominal
+
+
+def test_train_oracle_fuzz_vs_python():
+    """The generated merge-round CTEs (the oracle's semantic core: pair
+    zip, tie-break, left-to-right literal replace) must match the pure-
+    Python reference on random adversarial corpora — tiny alphabets
+    force count ties and overlapping pairs.  DuckDB-only: fast, and the
+    Spark<->oracle leg is covered by the sf0.01 parity gate."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(0xB9E)
+    for trial in range(30):
+        n_docs = rng.randint(1, 12)
+        corpus = []
+        for i in range(n_docs):
+            words = [
+                "".join(
+                    rng.choice("aab") for _ in range(rng.randint(1, 6))
+                )
+                for _ in range(rng.randint(0, 10))
+            ]
+            corpus.append((i, " ".join(words)))
+        k = rng.randint(1, 5)
+        want = _py_train([t for _, t in corpus], k)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents(doc_id BIGINT, text VARCHAR)"
+        )
+        con.executemany("INSERT INTO documents VALUES (?, ?)", corpus)
+        ctes, union = bpe.train_ctes("documents", k)
+        got = [
+            tuple(r)
+            for r in con.execute(
+                f"WITH {ctes} SELECT rank, lhs, rhs, freq FROM ({union})"
+                " ORDER BY rank"
+            ).fetchall()
+        ]
+        # the SQL chain has no early stop: rounds past pair exhaustion
+        # emit no row (LIMIT 1 over empty), so got is want's prefix-equal
+        assert got == want, (trial, corpus, k)
