@@ -31,6 +31,7 @@ size-ranking heuristic.
 from __future__ import annotations
 
 import dataclasses
+from operator import itemgetter
 from typing import Iterable, Sequence
 
 from wordscape_spark import signal as sig
@@ -42,7 +43,7 @@ from wordscape_spark.config import DEFAULT_CONFIG, ExtractConfig
 # --------------------------------------------------------------------------
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class Run:
     text: str
     size: float = sig.FONT_UNKNOWN
@@ -51,7 +52,7 @@ class Run:
     underline: bool = False
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class BodyPar:
     style: str
     par_size: float
@@ -71,37 +72,37 @@ class BodyPar:
         return self._text
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class StreamPar:  # header / footer / textbox paragraph
     tag: str  # hp | fp | xp
     text: str
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class Sdt:
     gallery: str
     text: str
     form: str = ""  # '' | 'field' | 'tag' (entities/form.py analog)
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class TableEl:
     cells: list[sig.CellSignal]
     parent: int | None = None  # parent table idx when nested
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class Figure:
     media_ref: str | None
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class PageBreak:
     """Explicit page boundary (``pb`` tag): increments the 1-based page
     counter (page-level records per orm/models.py:132-187)."""
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class Meta:
     """Document-intrinsic metadata span (oxml_metadata.py:33-58 analog)."""
 
@@ -122,7 +123,7 @@ def parse_elements(
     order = offset order, like the reference's body walk,
     text_extraction.py:96-102).
     """
-    ordered = sorted(spans, key=lambda s: s[3])
+    ordered = sorted(spans, key=itemgetter(3))
     elements: list[Element] = []
     cur_key: tuple | None = None
 
@@ -647,11 +648,28 @@ def check_content_aware(
 # --------------------------------------------------------------------------
 
 
-@dataclasses.dataclass
-class Decision:
-    text: str | None
-    source: str
-    entity_id: int
+# The reference keeps a per-run decision log and folds it into a
+# builtin/heuristic char counter afterwards (colorization_handler.py:324-366
+# → annotation_quality.py:18-83).  The log was only ever consumed through
+# that fold, so the engine accumulates the counter directly at each
+# decision site: ``counter[entity_id] = [builtin_chars, heuristic_chars]``,
+# where a decision contributes len(text) (or 1.0 for text-less decisions
+# like tables/figures) to slot 0 when its source is builtin/xml_pattern,
+# slot 1 otherwise — identical numbers, no per-run object churn.
+
+
+def _count_decision(
+    counter: dict[int, list[float]],
+    text: str | None,
+    source: str,
+    entity_id: int,
+) -> None:
+    rec = counter.get(entity_id)
+    if rec is None:
+        counter[entity_id] = rec = [0.0, 0.0]
+    rec[0 if source in tax.BUILTIN_SOURCES else 1] += (
+        1.0 if text is None else float(len(text))
+    )
 
 
 @dataclasses.dataclass
@@ -683,7 +701,7 @@ def _emit_heuristic_par(
     original_was_builtin: bool,
     original_id: int,
     out_spans: list[tuple[str, str, str | None]],
-    decisions: list[Decision],
+    counter: dict[int, list[float]],
 ) -> None:
     """Emission per colorization_handler.assign_par_color_considering_runs
     (+ __handle_run_colorization), colorization_handler.py:235-366."""
@@ -728,46 +746,52 @@ def _emit_heuristic_par(
             out_spans.append((seg_cat, seg_text, None))
 
     # decision log uses the pre-gating run categories
-    # (ref: colorization_handler.py:324-366)
+    # (ref: colorization_handler.py:324-366); the builtin-style path counts
+    # a run as builtin only when it kept the original category
+    src_slot = 0 if source in tax.BUILTIN_SOURCES else 1
     for run, cat in zip(runs, run_cats):
         entity_id = tax.NAME_TO_ID.get(cat)
         if entity_id is None:
             continue
-        if original_was_builtin and entity_id != original_id:
-            decisions.append(Decision(run.text, source, entity_id))
-        elif original_was_builtin and entity_id == original_id:
-            decisions.append(Decision(run.text, tax.SRC_BUILTIN, entity_id))
-        else:
-            decisions.append(Decision(run.text, source, entity_id))
+        slot = (
+            0
+            if original_was_builtin and entity_id == original_id
+            else src_slot
+        )
+        rec = counter.get(entity_id)
+        if rec is None:
+            counter[entity_id] = rec = [0.0, 0.0]
+        rec[slot] += float(len(run.text))
 
 
 def _classify_body_par(
     par: BodyPar,
     heuristics: FontHeuristics,
     out_spans: list[tuple[str, str, str | None]],
-    decisions: list[Decision],
+    counter: dict[int, list[float]],
 ) -> None:
     """Ref: colorization/entities/paragraph.py:12-86."""
     if par.style == "":
         return
     par_text = par.text
     style = par.style  # already lowercase in the signal grammar
-    stripped = par_text.replace("\n", "").replace("\t", "")
-    if len(stripped) == 0 and "toc" not in style:
+    # empty-after-removing-\n\t (strip is equivalent for the emptiness
+    # test and allocates nothing when the paragraph has other chars)
+    if not par_text.strip("\n\t") and "toc" not in style:
         return
 
     def assign_simple(cat: str, source: str) -> None:
         if par_text.isspace() or len(par_text) == 0:
             return
         out_spans.append((cat, par_text, None))
-        decisions.append(Decision(par_text, source, tax.NAME_TO_ID[cat]))
+        _count_decision(counter, par_text, source, tax.NAME_TO_ID[cat])
 
     def heuristic_path(original_was_builtin: bool) -> None:
         main, run_cats, source, runs = heuristics.classify_runs(par)
         _emit_heuristic_par(
             par_text, runs, main, run_cats, source,
             original_was_builtin, tax.NAME_TO_ID[tax.TEXT],
-            out_spans, decisions,
+            out_spans, counter,
         )
 
     if style not in tax.BUILTIN_STYLES:
@@ -792,7 +816,7 @@ def _classify_body_par(
 def _classify_table(
     tbl: TableEl,
     out_spans: list[tuple[str, str, str | None]],
-    decisions: list[Decision],
+    counter: dict[int, list[float]],
     counts: dict[str, int],
 ) -> None:
     """Cells in document order; one builtin decision per table
@@ -801,7 +825,7 @@ def _classify_table(
     arrive as their own TableEl (the recursion in
     table_colorization_handler.py:165-178 re-enters the same handler) and
     contribute their own table/row/column counts."""
-    decisions.append(Decision(None, tax.SRC_BUILTIN, tax.NAME_TO_ID[tax.TABLE]))
+    _count_decision(counter, None, tax.SRC_BUILTIN, tax.NAME_TO_ID[tax.TABLE])
     header_rows = set()
     body_rows = set()
     cols = set()
@@ -825,14 +849,16 @@ def classify_elements(
     heuristics: FontHeuristics,
 ) -> tuple[
     list[tuple[str, str, str | None]],
-    list[Decision],
+    dict[int, list[float]],
     dict[str, int],
     list[int],
     list[tuple[int, str, dict[str, int]]],
 ]:
     """Classify pre-parsed elements with a prebuilt heuristic map.
 
-    Returns (out_spans, decisions, counts, span_pages, pages) where
+    Returns (out_spans, char_counter, counts, span_pages, pages) where
+    ``char_counter`` is the builtin/heuristic char mass per entity id
+    (annotation_quality.py input; mergeable by summation) and
     ``span_pages[i]`` is the 1-based page of ``out_spans[i]`` and ``pages``
     is one (page_number, page_text, page_counts) record per physical page
     (PageMetadataRecordDB analog, orm/models.py:132-187) — empty pages
@@ -844,7 +870,7 @@ def classify_elements(
     are offset at chunk-merge time).
     """
     out_spans: list[tuple[str, str, str | None]] = []
-    decisions: list[Decision] = []
+    counter: dict[int, list[float]] = {}
     counts: dict[str, int] = {}
     span_pages: list[int] = []
     page = 1
@@ -864,24 +890,27 @@ def classify_elements(
         struct_delta: dict[str, int] = {}
 
         if isinstance(el, BodyPar):
-            _classify_body_par(el, heuristics, out_spans, decisions)
+            _classify_body_par(el, heuristics, out_spans, counter)
         elif isinstance(el, StreamPar):
             if len(el.text) == 0 or el.text.isspace():
                 continue
             if el.tag == "hp":
                 out_spans.append((tax.HEADER, el.text, None))
-                decisions.append(
-                    Decision(el.text, tax.SRC_BUILTIN, tax.NAME_TO_ID[tax.HEADER])
+                _count_decision(
+                    counter, el.text, tax.SRC_BUILTIN,
+                    tax.NAME_TO_ID[tax.HEADER],
                 )
             elif el.tag == "fp":
                 out_spans.append((tax.FOOTER, el.text, None))
-                decisions.append(
-                    Decision(el.text, tax.SRC_BUILTIN, tax.NAME_TO_ID[tax.FOOTER])
+                _count_decision(
+                    counter, el.text, tax.SRC_BUILTIN,
+                    tax.NAME_TO_ID[tax.FOOTER],
                 )
             else:  # textbox → text via xml pattern (ref: text_box.py:10-31)
                 out_spans.append((tax.TEXT, el.text, None))
-                decisions.append(
-                    Decision(el.text, tax.SRC_XML_PATTERN, tax.NAME_TO_ID[tax.TEXT])
+                _count_decision(
+                    counter, el.text, tax.SRC_XML_PATTERN,
+                    tax.NAME_TO_ID[tax.TEXT],
                 )
         elif isinstance(el, Sdt):
             if len(el.text) == 0 or el.text.isspace():
@@ -895,15 +924,15 @@ def classify_elements(
             else:
                 cat = tax.BIBLIOGRAPHY if "bib" in el.gallery else tax.TOC
             out_spans.append((cat, el.text, None))
-            decisions.append(
-                Decision(el.text, tax.SRC_XML_PATTERN, tax.NAME_TO_ID[cat])
+            _count_decision(
+                counter, el.text, tax.SRC_XML_PATTERN, tax.NAME_TO_ID[cat]
             )
         elif isinstance(el, TableEl):
-            _classify_table(el, out_spans, decisions, struct_delta)
+            _classify_table(el, out_spans, counter, struct_delta)
         elif isinstance(el, Figure):
             out_spans.append((tax.FIGURE, "", el.media_ref))
-            decisions.append(
-                Decision(None, tax.SRC_BUILTIN, tax.NAME_TO_ID[tax.FIGURE])
+            _count_decision(
+                counter, None, tax.SRC_BUILTIN, tax.NAME_TO_ID[tax.FIGURE]
             )
 
         new_spans = out_spans[before:]
@@ -932,7 +961,7 @@ def classify_elements(
         (p, "\n".join(page_text_parts.get(p, [])), page_counts.get(p, {}))
         for p in range(1, n_pages + 1)
     ]
-    return out_spans, decisions, counts, span_pages, pages
+    return out_spans, counter, counts, span_pages, pages
 
 
 def classify_document(
@@ -952,13 +981,11 @@ def classify_document(
     heuristics = FontHeuristics.from_pars(
         [el for el in elements if isinstance(el, BodyPar)], cfg
     )
-    out_spans, decisions, counts, span_pages, pages = classify_elements(
+    out_spans, char_counter, counts, span_pages, pages = classify_elements(
         elements, heuristics
     )
 
-    quality, builtin_props = quality_from_counter(
-        char_counter_from_decisions(decisions), counts
-    )
+    quality, builtin_props = quality_from_counter(char_counter, counts)
     final = [
         (kind, text, media_ref, i)
         for i, (kind, text, media_ref) in enumerate(out_spans)
@@ -978,18 +1005,6 @@ def classify_document(
         # sorted here so distributed results are deterministic
         lang_tags=sorted(lang_tags),
     )
-
-
-def char_counter_from_decisions(
-    decisions: Sequence[Decision],
-) -> dict[int, list[float]]:
-    """builtin/heuristic char mass per category (mergeable by summation)."""
-    char_counter: dict[int, list[float]] = {}
-    for d in decisions:
-        text_len = 1.0 if d.text is None else float(len(d.text))
-        slot = 0 if d.source in tax.BUILTIN_SOURCES else 1
-        char_counter.setdefault(d.entity_id, [0.0, 0.0])[slot] += text_len
-    return char_counter
 
 
 def quality_from_counter(
@@ -1052,3 +1067,95 @@ def text_metrics(text: str) -> dict[str, float]:
         "alnum_prop": (num_alnum / num_chars) if num_chars else 0.0,
         "alph_to_num_ratio": (num_alph / num_numeric) if num_numeric else 0.0,
     }
+
+
+# Vectorized batch form of ``text_metrics``: the per-doc regex passes were
+# ~85% of the extraction operator's row-build time (two re.sub string
+# allocations + a translate per doc).  The batch form makes ONE pass: docs
+# are joined with '\n' separators, decoded to a code-point array, class
+# membership is a table lookup, and per-doc sums come from add.reduceat.
+# The lookup tables are derived at first use FROM THE SAME regexes /
+# str methods the scalar form uses (``_NON_ALPHA.sub`` over all BMP chars,
+# ``str.isspace``, ``string.punctuation``), so the two forms cannot drift;
+# any batch containing astral (>= U+10000) code points or unencodable
+# surrogates falls back to the scalar form wholesale.  Parity is pinned by
+# tests over the corpus plus unicode fuzz.
+_TM_LUT = None
+
+
+def _tm_luts():
+    global _TM_LUT
+    if _TM_LUT is None:
+        import numpy as np
+
+        bmp = "".join(map(chr, range(0x10000)))
+        alpha = np.zeros(0x10000, dtype=np.int64)
+        digit = np.zeros(0x10000, dtype=np.int64)
+        for ch in _NON_ALPHA.sub("", bmp):
+            alpha[ord(ch)] = 1
+        for ch in _NON_NUM.sub("", bmp):
+            digit[ord(ch)] = 1
+        space = np.zeros(0x10000, dtype=bool)
+        for cp in range(0x10000):
+            if chr(cp).isspace():
+                space[cp] = True
+        punct = np.zeros(0x10000, dtype=bool)
+        for ch in _string.punctuation:
+            punct[ord(ch)] = True
+        _TM_LUT = (alpha, digit, space, punct)
+    return _TM_LUT
+
+
+def text_metrics_batch(texts: list[str]) -> list[dict[str, float]]:
+    """``[text_metrics(t) for t in texts]``, one vectorized pass."""
+    import numpy as np
+
+    if not texts:
+        return []
+    try:
+        joined = "\n".join(texts) + "\n"
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    except UnicodeEncodeError:  # lone surrogates: scalar fallback
+        return [text_metrics(t) for t in texts]
+    if codes.size and int(codes.max()) >= 0x10000:  # astral: fallback
+        return [text_metrics(t) for t in texts]
+    alpha, digit, space, punct = _tm_luts()
+    lengths = np.fromiter(
+        (len(t) for t in texts), dtype=np.int64, count=len(texts)
+    )
+    starts = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(lengths[:-1] + 1, out=starts[1:])
+    n_alph = np.add.reduceat(alpha[codes], starts)
+    n_num = np.add.reduceat(digit[codes], starts)
+    # words: drop ascii punctuation, then count runs of
+    # non-whitespace.  The '\n' separators are never punctuation, so
+    # every doc's (filtered) segment stays non-empty and no run
+    # crosses a doc boundary.
+    keep = ~punct[codes]
+    fcodes = codes[keep]
+    kept_before = np.cumsum(keep)
+    kstarts = np.zeros(len(texts), dtype=np.int64)
+    if len(texts) > 1:
+        kstarts[1:] = kept_before[starts[1:] - 1]
+    w = ~space[fcodes]
+    runs = w.copy()
+    runs[1:] &= ~w[:-1]
+    n_words = np.add.reduceat(runs.astype(np.int64), kstarts)
+    out = []
+    for i in range(len(texts)):
+        na = int(n_alph[i])
+        nn = int(n_num[i])
+        nc = int(lengths[i])
+        nan = na + nn
+        out.append(
+            {
+                "num_words": float(int(n_words[i])),
+                "num_chars": float(nc),
+                "num_alph_chars": float(na),
+                "num_numeric_chars": float(nn),
+                "num_alphnum_chars": float(nan),
+                "alnum_prop": (nan / nc) if nc else 0.0,
+                "alph_to_num_ratio": (na / nn) if nn else 0.0,
+            }
+        )
+    return out

@@ -183,13 +183,16 @@ def _pages_to_rows(pages: list[tuple]) -> list[dict]:
     ]
 
 
-def _result_row(doc_id: str, res: C.DocResult) -> dict:
+def _result_row(doc_id: str, res: C.DocResult, metrics=None) -> dict:
     # D10 metrics are computed here, inside the classification UDF: they
     # parallelize with classification at zero extra Arrow traffic.  (A native
     # column-expression variant was measured slower end-to-end — JVM string
     # passes over multi-MB mega-doc texts straggle; see operators/text.py
-    # metrics_exprs for the SQL-side twin used by the oracle.)
-    metrics = C.text_metrics(res.text if res.ok else "")
+    # metrics_exprs for the SQL-side twin used by the oracle.)  Batch callers
+    # pass precomputed ``metrics`` (one vectorized text_metrics_batch pass
+    # per Arrow batch instead of two regex subs + a translate per doc).
+    if metrics is None:
+        metrics = C.text_metrics(res.text if res.ok else "")
     return {
         "doc_id": doc_id,
         "ok": res.ok,
@@ -266,6 +269,10 @@ def _make_classify_arrow_fn(
     if out_schema is None:
         out_schema = EXTRACTED_SCHEMA
 
+    # the full-row surface computes D10 text metrics: batch them (one
+    # vectorized pass per Arrow batch) instead of per-doc regex work
+    batch_metrics = row_fn is _result_row
+
     def classify_batches(batches):
         from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -273,7 +280,7 @@ def _make_classify_arrow_fn(
         for batch in batches:
             doc_ids = batch.column(0).to_pylist()
             spans_col = batch.column(1)
-            rows = []
+            results = []
             if spans_col.null_count == 0:
                 # flat-child decode: one to_pylist per LEAF column instead
                 # of materializing a dict per span (nested to_pylist) —
@@ -297,16 +304,27 @@ def _make_classify_arrow_fn(
                         zip(kinds[lo:hi], texts[lo:hi],
                             refs[lo:hi], offs[lo:hi])
                     )
-                    rows.append(
-                        row_fn(doc_id, _safe_classify_tuples(tuples, cfg))
+                    results.append(
+                        (doc_id, _safe_classify_tuples(tuples, cfg))
                     )
             else:  # null spans arrays: keep the error-reject semantics
                 for doc_id, spans in zip(doc_ids, spans_col.to_pylist()):
-                    rows.append(
-                        row_fn(doc_id, _safe_classify_rows(spans, cfg))
+                    results.append(
+                        (doc_id, _safe_classify_rows(spans, cfg))
                     )
-            if rows:
-                yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
+            if not results:
+                continue
+            if batch_metrics:
+                metrics = C.text_metrics_batch(
+                    [res.text if res.ok else "" for _, res in results]
+                )
+                rows = [
+                    _result_row(doc_id, res, m)
+                    for (doc_id, res), m in zip(results, metrics)
+                ]
+            else:
+                rows = [row_fn(doc_id, res) for doc_id, res in results]
+            yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
 
     return classify_batches
 
@@ -501,7 +519,7 @@ def _make_chunk_classify_fn(cfg: ExtractConfig):
                     else:
                         heuristics_cache.move_to_end(doc_id)
                     elements = C.parse_elements(_spans_to_tuples(spans))
-                    out_spans, decisions, counts, span_pages, pages = (
+                    out_spans, char_counter, counts, span_pages, pages = (
                         C.classify_elements(elements, h)
                     )
                 except Exception as exc:  # noqa: BLE001 — fault isolation
@@ -544,9 +562,7 @@ def _make_chunk_classify_fn(cfg: ExtractConfig):
                         "pages": _pages_to_rows(pages),
                         "text": C.serialize_text(elements),
                         "counts": {k: int(v) for k, v in counts.items()},
-                        "char_counter": json.dumps(
-                            C.char_counter_from_decisions(decisions)
-                        ),
+                        "char_counter": json.dumps(char_counter),
                         "meta_json": json.dumps(
                             {"props": props, "lang_tags": lang_tags}
                         ),

@@ -102,8 +102,13 @@ def parse_fields(kind: str) -> tuple[str, dict[str, str]]:
 # kind-string → parsed fields cache: kinds repeat heavily across spans and
 # documents (~6× at the sf0.01 mix), and the split+convert is ~17% of
 # classification; bounded with a cheap epoch clear (the working set of one
-# task re-fills in one batch)
+# task re-fills in one batch).  The second-level cache keys on the kind
+# with the paragraph index removed: ``p=`` is the only per-paragraph field,
+# so distinct full kinds per corpus grow with paragraph count while the
+# (tag, style+font-prop rest) combinations stay small — a full-kind miss
+# usually only needs one int() instead of a 12-field parse.
 _RUN_KIND_CACHE: dict[str, tuple] = {}
+_RUN_REST_CACHE: dict[str, tuple] = {}
 _RUN_KIND_CACHE_MAX = 1 << 16
 
 
@@ -112,7 +117,20 @@ def parse_run(kind: str, text: str) -> RunSignal:
     if fields is None:
         if len(_RUN_KIND_CACHE) >= _RUN_KIND_CACHE_MAX:
             _RUN_KIND_CACHE.clear()
-        fields = tuple(_parse_run_uncached(kind, ""))[:-1]
+        i1 = kind.find(";")
+        i2 = kind.find(";", i1 + 1) if i1 >= 0 else -1
+        if i2 >= 0 and kind.startswith("p=", i1 + 1):
+            rest_key = kind[:i1] + kind[i2:]
+            tmpl = _RUN_REST_CACHE.get(rest_key)
+            if tmpl is None:
+                if len(_RUN_REST_CACHE) >= _RUN_KIND_CACHE_MAX:
+                    _RUN_REST_CACHE.clear()
+                tmpl = tuple(_parse_run_uncached(kind, ""))[:-1]
+                _RUN_REST_CACHE[rest_key] = tmpl
+            # identical tag + rest ⇒ every field but par parses identically
+            fields = (tmpl[0], int(kind[i1 + 3 : i2])) + tmpl[2:]
+        else:
+            fields = tuple(_parse_run_uncached(kind, ""))[:-1]
         _RUN_KIND_CACHE[kind] = fields
     return RunSignal(*fields, text)
 
@@ -243,15 +261,29 @@ def encode_sdt(gallery: str, form: str = "") -> str:
     return f"sdt;g={gallery};f={form}"
 
 
+# (size, bold, italic) → fontprop key memo: the float→str conversion and
+# concat run once per distinct resolved prop combo instead of once per run
+# (a document reuses a handful of combos across thousands of runs); bounded
+# like _RUN_KIND_CACHE
+_FONTPROP_CACHE: dict[tuple, str] = {}
+
+
 def fontprop_string(size: float, bold: bool | None, italic: bool | None) -> str:
     """Canonical fontprop key: str(size) + b/i/bi/n suffix
     (ref: heuristics/utils.py:216-234)."""
-    suffix = ""
-    if bold:
-        suffix += "b"
-    if italic:
-        suffix += "i"
-    return str(size) + (suffix or "n")
+    key = (size, bold, italic)
+    cached = _FONTPROP_CACHE.get(key)
+    if cached is None:
+        if len(_FONTPROP_CACHE) >= _RUN_KIND_CACHE_MAX:
+            _FONTPROP_CACHE.clear()
+        suffix = ""
+        if bold:
+            suffix += "b"
+        if italic:
+            suffix += "i"
+        cached = str(size) + (suffix or "n")
+        _FONTPROP_CACHE[key] = cached
+    return cached
 
 
 def resolve_run_props(run: RunSignal) -> tuple[float, bool | None, bool | None]:
