@@ -42,15 +42,20 @@ DEFAULT_BUCKETS = 1024
 
 #: in-row hashed-n-gram instances (unigrams + bigrams) of a text column;
 #: the sequence() is CASE-guarded — sequence(1, 0) is DESCENDING in
-#: Spark, which would fabricate grams for one-word docs
+#: Spark, which would fabricate grams for one-word docs.  The word array
+#: is bound ONCE via the single-element-array lambda trick: a bare
+#: ``element_at({ws}, i)`` inside the bigram lambda would re-run the
+#: split per gram (O(words²) per doc — the same trap documented in
+#: ``fingerprint.winnow_fingerprints`` and ``dedup.shingles_expr``).
 _GRAMS_TMPL = """
-    CASE WHEN size({ws}) >= 2
+    transform(array({ws}), ws ->
+    CASE WHEN size(ws) >= 2
          THEN concat(
-            {ws},
-            transform(sequence(1, size({ws}) - 1),
-                      i -> concat(element_at({ws}, i), ' ',
-                                  element_at({ws}, i + 1))))
-         ELSE {ws} END
+            ws,
+            transform(sequence(1, size(ws) - 1),
+                      i -> concat(element_at(ws, i), ' ',
+                                  element_at(ws, i + 1))))
+         ELSE ws END)[0]
 """
 _WORDS_TMPL = "filter(split(lower({col}), '[^a-z0-9]+'), w -> w != '')"
 

@@ -41,7 +41,11 @@ def percentile_expr(col: str, p: float, dialect: str) -> str:
 
 def pseudo_perplexity_expr(col: str, dialect: str) -> str:
     if dialect == "spark":
-        ntok = f"size(split(trim({col}), '\\\\s+'))"
+        # token count without materializing the token array: n separator
+        # runs ⇔ n+1 tokens on trimmed (no leading/trailing \s) text —
+        # identical integer to size(split(trim(col), '\s+')), measurably
+        # cheaper on long documents
+        ntok = f"(regexp_count(trim({col}), '\\\\s+') + 1)"
     else:
         ntok = f"len(regexp_split_to_array(trim({col}), '\\s+'))"
     return (
