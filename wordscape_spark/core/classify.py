@@ -126,6 +126,11 @@ def parse_elements(
     ordered = sorted(spans, key=itemgetter(3))
     elements: list[Element] = []
     cur_key: tuple | None = None
+    # hot loop: bind lookups once (the loop runs once per span)
+    parse_run = sig.parse_run
+    parse_fields = sig.parse_fields
+    parse_cell = sig.parse_cell
+    cur_el = None  # last appended element (avoids elements[-1] per span)
 
     for kind, text, media_ref, _off in ordered:
         text = text or ""
@@ -134,54 +139,52 @@ def parse_elements(
         # instead of twice)
         tag = kind.partition(";")[0]
         if tag == "r":
-            r = sig.parse_run(kind, text)
+            r = parse_run(kind, text)
             key = ("r", r.par)
             if key != cur_key:
-                elements.append(
-                    BodyPar(
-                        style=r.style,
-                        par_size=r.par_size,
-                        par_bold=r.par_bold,
-                        par_italic=r.par_italic,
-                        math=r.math,
-                        numbered=r.numbered,
-                        runs=[],
-                    )
+                cur_el = BodyPar(
+                    style=r.style,
+                    par_size=r.par_size,
+                    par_bold=r.par_bold,
+                    par_italic=r.par_italic,
+                    math=r.math,
+                    numbered=r.numbered,
+                    runs=[],
                 )
+                elements.append(cur_el)
                 cur_key = key
-            par = elements[-1]
-            assert isinstance(par, BodyPar)
-            par.math = par.math or r.math
-            par.numbered = par.numbered or r.numbered
+            par = cur_el
+            if r.math:
+                par.math = True
+            if r.numbered:
+                par.numbered = True
             par.runs.append(
                 Run(text=text, size=r.size, bold=r.bold, italic=r.italic,
                     underline=r.underline)
             )
         elif tag in ("hp", "fp", "xp"):
-            _, fields = sig.parse_fields(kind)
+            _, fields = parse_fields(kind)
             key = (tag, fields.get("p", "0"))
             if key != cur_key:
-                elements.append(StreamPar(tag=tag, text=""))
+                cur_el = StreamPar(tag=tag, text="")
+                elements.append(cur_el)
                 cur_key = key
-            el = elements[-1]
-            assert isinstance(el, StreamPar)
-            el.text += text
+            cur_el.text += text
         elif tag == "sdt":
-            _, fields = sig.parse_fields(kind)
+            _, fields = parse_fields(kind)
             elements.append(
                 Sdt(gallery=fields.get("g", ""), text=text,
                     form=fields.get("f", ""))
             )
             cur_key = None
         elif tag == "tc":
-            c = sig.parse_cell(kind, text)
+            c = parse_cell(kind, text)
             key = ("tc", c.table)
             if key != cur_key:
-                elements.append(TableEl(cells=[], parent=c.parent))
+                cur_el = TableEl(cells=[], parent=c.parent)
+                elements.append(cur_el)
                 cur_key = key
-            tbl = elements[-1]
-            assert isinstance(tbl, TableEl)
-            tbl.cells.append(c)
+            cur_el.cells.append(c)
         elif tag == "fig":
             elements.append(Figure(media_ref=media_ref))
             cur_key = None
@@ -234,6 +237,7 @@ def serialize_text(elements: Iterable[Element]) -> str:
 # --------------------------------------------------------------------------
 
 _HEADING_STYLE_LEVEL = {f"heading {i}": i for i in range(1, 10)}
+_HEADING_SET = frozenset(tax.HEADING)  # O(1) membership in the hot loops
 
 
 def _level_to_category(level: int) -> str:
@@ -299,22 +303,27 @@ class FontHeuristics:
         all_runs_italic = True
         all_runs_whitespace = True
         run_font_sizes: list[float] = []
+        # hot loop: bind lookups once per paragraph
+        p_size, p_bold, p_italic = par_props
+        fsc = self.font_size_count
+        fsa = self.font_size_appearances
+        is_ws = sig.is_whitespace
+        fontprop = sig.fontprop_string
+        unknown = sig.FONT_UNKNOWN
 
         for run in par.runs:
-            size = run.size if run.size != sig.FONT_UNKNOWN else par_props[0]
-            bold = run.bold if run.bold is not None else par_props[1]
-            italic = run.italic if run.italic is not None else par_props[2]
-            if not sig.is_whitespace(run.text):
+            size = run.size if run.size != unknown else p_size
+            bold = run.bold if run.bold is not None else p_bold
+            italic = run.italic if run.italic is not None else p_italic
+            if not is_ws(run.text):
                 all_runs_bold = all_runs_bold and bold
                 all_runs_italic = all_runs_italic and italic
                 run_font_sizes.append(size)
                 all_runs_whitespace = False
-            fp = sig.fontprop_string(size, bold, italic)
-            self.font_size_count[fp] = self.font_size_count.get(fp, 0) + len(run.text)
+            fp = fontprop(size, bold, italic)
+            fsc[fp] = fsc.get(fp, 0) + len(run.text)
             if fp not in already_counted:
-                self.font_size_appearances[fp] = (
-                    self.font_size_appearances.get(fp, 0) + 1
-                )
+                fsa[fp] = fsa.get(fp, 0) + 1
                 already_counted.add(fp)
 
         if builtin_heading_flag and not all_runs_whitespace and len(par.runs) > 0:
@@ -410,41 +419,48 @@ class FontHeuristics:
         ws_indices: list[int] = []
         prev_was_heading = True
         heading_len = 0
+        # hot loop: bind lookups once per paragraph
+        is_ws = sig.is_whitespace
+        fontprop = sig.fontprop_string
+        unknown = sig.FONT_UNKNOWN
+        p_size, p_bold, p_italic = par.par_size, par.par_bold, par.par_italic
+        hmap = self.heuristic_map
+        WS, TEXT, TITLE = tax.WHITESPACE, tax.TEXT, tax.TITLE
 
         for run in par.runs:
-            if sig.is_whitespace(run.text):
-                run_cats.append(tax.WHITESPACE)
+            if is_ws(run.text):
+                run_cats.append(WS)
                 ws_indices.append(len(run_cats) - 1)
-                char_count[tax.WHITESPACE] = char_count.get(tax.WHITESPACE, 0) - 1
+                char_count[WS] = char_count.get(WS, 0) - 1
                 continue
 
-            size = run.size if run.size != sig.FONT_UNKNOWN else par.par_size
-            bold = run.bold if run.bold is not None else par.par_bold
-            italic = run.italic if run.italic is not None else par.par_italic
-            fp = sig.fontprop_string(size, bold, italic)
+            size = run.size if run.size != unknown else p_size
+            bold = run.bold if run.bold is not None else p_bold
+            italic = run.italic if run.italic is not None else p_italic
+            fp = fontprop(size, bold, italic)
 
-            if fp in self.heuristic_map:
-                cat = _level_to_category(self.heuristic_map[fp])
+            if fp in hmap:
+                cat = _level_to_category(hmap[fp])
                 # heading strictness: a heading run must start the paragraph
                 # or continue a heading (ref: build_heuristics.py:342-343)
                 if not prev_was_heading:
-                    cat = tax.TEXT
+                    cat = TEXT
                 run_cats.append(cat)
-                if cat == tax.TITLE or cat in tax.HEADING:
+                if cat == TITLE or cat in _HEADING_SET:
                     heading_len += len(run.text)
                     if heading_len > self.cfg.max_heading_len:
                         # demote the whole paragraph to body
                         # (ref: build_heuristics.py:354-363)
-                        run_cats = [tax.TEXT] * len(run_cats)
-                        char_count = {tax.TEXT: 1000}
+                        run_cats = [TEXT] * len(run_cats)
+                        char_count = {TEXT: 1000}
                         prev_was_heading = False
                 else:
                     prev_was_heading = False
                 char_count[cat] = char_count.get(cat, 0) + len(run.text)
             else:
-                run_cats.append(tax.TEXT)
+                run_cats.append(TEXT)
                 prev_was_heading = False
-                char_count[tax.TEXT] = char_count.get(tax.TEXT, 0) + len(run.text)
+                char_count[TEXT] = char_count.get(TEXT, 0) + len(run.text)
 
         if char_count:
             main = max(char_count, key=char_count.get)
@@ -720,8 +736,9 @@ def _emit_heuristic_par(
         # honored when starting the par or continuing an equal heading
         # (ref: colorization_handler.py:270-276)
         effective = list(run_cats)
+        heading_set = _HEADING_SET
         for i, cat in enumerate(run_cats):
-            if cat in tax.HEADING:
+            if cat in heading_set:
                 if (
                     i != 0
                     and run_cats[i - 1] != cat
@@ -749,8 +766,10 @@ def _emit_heuristic_par(
     # (ref: colorization_handler.py:324-366); the builtin-style path counts
     # a run as builtin only when it kept the original category
     src_slot = 0 if source in tax.BUILTIN_SOURCES else 1
+    name_to_id_get = tax.NAME_TO_ID.get
+    counter_get = counter.get
     for run, cat in zip(runs, run_cats):
-        entity_id = tax.NAME_TO_ID.get(cat)
+        entity_id = name_to_id_get(cat)
         if entity_id is None:
             continue
         slot = (
@@ -758,7 +777,7 @@ def _emit_heuristic_par(
             if original_was_builtin and entity_id == original_id
             else src_slot
         )
-        rec = counter.get(entity_id)
+        rec = counter_get(entity_id)
         if rec is None:
             counter[entity_id] = rec = [0.0, 0.0]
         rec[slot] += float(len(run.text))
