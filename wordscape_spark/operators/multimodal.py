@@ -75,21 +75,35 @@ def media_table(docs: DataFrame) -> DataFrame:
         "width", F.expr(f"32 + ({h16} % 993)")
     ).withColumn("height", F.expr(f"32 + (CAST(conv(substr({seed}, 5, 4), 16, 10) AS INT) % 993)"))
 
-    def gen_bytes(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batch_iter:
-            contents = []
-            for doc_id, ref, n in zip(pdf["doc_id"], pdf["media_ref"], pdf["n_bytes"]):
-                n = int(n)
-                digest = hashlib.md5(f"{doc_id}/{ref}".encode()).digest()
-                contents.append((digest * (n // 16 + 1))[:n])
-            out = pdf[["doc_id", "media_ref"]].copy()
-            out["content"] = contents
-            out["fmt"] = "png"
-            out["width"] = pdf["width"].astype("int32")
-            out["height"] = pdf["height"].astype("int32")
-            yield out
+    def gen_bytes(batches):
+        # mapInArrow: the binary payload column is assembled once as an
+        # Arrow array instead of a pandas object column (pandas adds a
+        # per-cell Python-object hop on both the build and serialize side)
+        import pyarrow as pa
 
-    return figs.mapInPandas(gen_bytes, schema=MEDIA_SCHEMA)
+        md5 = hashlib.md5
+        for batch in batches:
+            cols = {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
+            doc_ids = cols["doc_id"].to_pylist()
+            refs = cols["media_ref"].to_pylist()
+            sizes = cols["n_bytes"].to_pylist()
+            contents = []
+            for doc_id, ref, n in zip(doc_ids, refs, sizes):
+                digest = md5(f"{doc_id}/{ref}".encode()).digest()
+                contents.append((digest * (n // 16 + 1))[:n])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    cols["doc_id"],
+                    cols["media_ref"],
+                    pa.array(contents, type=pa.binary()),
+                    pa.array(["png"] * len(contents), type=pa.string()),
+                    cols["width"].cast(pa.int32()),
+                    cols["height"].cast(pa.int32()),
+                ],
+                names=[f.name for f in MEDIA_SCHEMA.fields],
+            )
+
+    return figs.mapInArrow(gen_bytes, schema=MEDIA_SCHEMA)
 
 
 def _surrogate_features(b: bytes) -> dict:
@@ -127,28 +141,83 @@ def extract_features(
     ``decode_real=True`` without a decoder preserves the documented sandbox
     boundary (no imaging libs in this container) by raising.
     """
-    fn = decoder
-    if fn is None:
-        if decode_real:
-            raise NotImplementedError(
-                "real media decode requires PIL/ffmpeg (not in sandbox); "
-                "inject decoder=<callable bytes -> feature dict> to use a "
-                "real backend, or use the deterministic surrogate"
-            )
-        fn = _surrogate_features
+    if decoder is None and decode_real:
+        raise NotImplementedError(
+            "real media decode requires PIL/ffmpeg (not in sandbox); "
+            "inject decoder=<callable bytes -> feature dict> to use a "
+            "real backend, or use the deterministic surrogate"
+        )
 
-    def features(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batch_iter:
-            rows = []
-            for doc_id, ref, content in zip(
-                pdf["doc_id"], pdf["media_ref"], pdf["content"]
-            ):
-                rows.append(
-                    {"doc_id": doc_id, "media_ref": ref, **fn(bytes(content))}
+    if decoder is not None:
+        fn = decoder
+
+        def features(
+            batch_iter: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batch_iter:
+                rows = []
+                for doc_id, ref, content in zip(
+                    pdf["doc_id"], pdf["media_ref"], pdf["content"]
+                ):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "media_ref": ref,
+                            **fn(bytes(content)),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        return media.select("doc_id", "media_ref", "content").mapInPandas(
+            features, schema=FEATURE_SCHEMA
+        )
+
+    def features_arrow(batches):
+        # surrogate fast path: byte sums for the whole batch via one
+        # cumsum over the binary values buffer (exact integer sums, the
+        # same round()), md5 per row; only (doc_id, media_ref, content)
+        # cross the boundary
+        import pyarrow as pa
+
+        md5 = hashlib.md5
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            doc_ids = batch.column(0)
+            refs = batch.column(1)
+            contents = batch.column(2)
+            blobs = contents.to_pylist()
+            lens = [len(b) for b in blobs]
+            if sum(lens):
+                data = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+                csum = np.concatenate(
+                    ([0], np.cumsum(data, dtype=np.int64))
                 )
-            yield pd.DataFrame(rows)
+                ends = np.cumsum(np.asarray(lens, dtype=np.int64))
+                starts = ends - np.asarray(lens, dtype=np.int64)
+                sums = csum[ends] - csum[starts]
+            else:
+                sums = [0] * n
+            means = [
+                round(int(s) / ln, 6) if ln else 0.0
+                for s, ln in zip(sums, lens)
+            ]
+            phashes = [md5(b).hexdigest()[:16] for b in blobs]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_ids,
+                    refs,
+                    pa.array(lens, type=pa.int64()),
+                    pa.array(means, type=pa.float64()),
+                    pa.array(phashes, type=pa.string()),
+                ],
+                names=[f.name for f in FEATURE_SCHEMA.fields],
+            )
 
-    return media.mapInPandas(features, schema=FEATURE_SCHEMA)
+    return media.select("doc_id", "media_ref", "content").mapInArrow(
+        features_arrow, schema=FEATURE_SCHEMA
+    )
 
 
 RESIZED_SCHEMA = StructType(
