@@ -106,11 +106,12 @@ def bpe_train(
     if n_merges <= 0:
         raise ValueError("n_merges must be positive")
     seed = _SEED_SPARK.format(w="word")
-    cur = (
+    seeded = (
         word_histogram(docs, text_col, max_vocab_words)
         .select(F.expr(seed).alias("toks"), "cnt")
         .cache()
     )
+    cur = seeded
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         best = (
@@ -139,7 +140,10 @@ def bpe_train(
             "toks",
             F.replace("toks", F.lit(f" {lhs} {rhs} "), F.lit(f" {lhs}{rhs} ")),
         )
-    cur.unpersist()
+    # unpersist the CACHED seeded histogram — ``cur`` is reassigned every
+    # round, so unpersisting it would leak the cache entry for the rest of
+    # the session (ADVICE r6)
+    seeded.unpersist()
     return merges
 
 

@@ -92,6 +92,14 @@ def with_perplexity(
                 ]
             )
 
+    # the scorer is deterministic, but the non-deterministic mark stops
+    # the optimizer from duplicating the (expensive) model UDF below
+    # pushed-down filters that reference the perplexity column — one
+    # ArrowEvalPython per branch instead of two (guide §4.4 shape; the
+    # whitelist gate's plan drops from 3 to 2 evaluations, results
+    # identical and pinned by the golden oracle)
+    ppl_once = ppl.asNondeterministic()
+
     return df.withColumn(
-        "perplexity", ppl(F.struct(F.col(text_col), F.col(lang_col)))
+        "perplexity", ppl_once(F.struct(F.col(text_col), F.col(lang_col)))
     )

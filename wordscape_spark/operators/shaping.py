@@ -206,8 +206,11 @@ def pack_sequences(
         .select(
             "doc_id", "_ps_stream", "_ps_n", "_ps_start",
             F.explode(
-                F.expr(f"sequence(CAST(_ps_start / {L} AS BIGINT), "
-                       f"CAST((_ps_end - 1) / {L} AS BIGINT))")
+                # integer division (div), not double '/': past ~2^53
+                # cumulative tokens per stream the double truncation can
+                # drift from the oracle's exact '//' floor (ADVICE r6)
+                F.expr(f"sequence(_ps_start div {L}, "
+                       f"(_ps_end - 1) div {L})")
             ).alias("_ps_k"),
         )
         .select(
