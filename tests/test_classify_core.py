@@ -507,3 +507,72 @@ def test_page_model_hand_oracle():
     assert res.pages[1][1] == "second page title"
     assert res.pages[2] == (3, "", {})
     assert res.pages[1][2] == {"title": 1, "figure": 1}
+
+
+def test_text_metrics_batch_parity_and_fallbacks():
+    """The vectorized batch form must equal the scalar reference form
+    element-for-element, including the unicode corners its lookup tables
+    must inherit (Arabic-Indic digits are \\d, superscripts are not,
+    NBSP/ideographic space split words) and the astral/surrogate
+    wholesale fallbacks."""
+    import random
+
+    texts = [
+        "", " ", "\n\t ", "a", "1", "_", "__a__1__", "a,b", "a, b", ",,,",
+        "héllo wörld ², ٣٤٥ ١٢٣", "ｆｕｌｌｗｉｄｔｈ１２３", "ΑΒΓ αβγ",
+        "混合中文 text with spaces", "tab\tsep\nnewline", "a b",
+        "½¼¾", "Ⅷ Ⅸ", "¹²³ vs 123", "  lead", "trail  ", "  line sep",
+        "कंप्यूटर", "עברית 123", "ascii only text 42!",
+        "👍 emoji doc", "\U00010400 deseret",  # astral → scalar fallback
+    ]
+    random.seed(11)
+    alphabet = "ab1 ,.!ü№\t\n½٣Α_"
+    texts += [
+        "".join(random.choice(alphabet) for _ in range(random.randint(0, 60)))
+        for _ in range(150)
+    ]
+    assert C.text_metrics_batch(texts) == [C.text_metrics(t) for t in texts]
+    # a batch that cannot be utf-32 encoded (lone surrogate) must fall
+    # back rather than raise
+    bad = ["ok", "\ud800 lone surrogate"]
+    assert C.text_metrics_batch(bad) == [C.text_metrics(t) for t in bad]
+
+
+def test_parse_run_rest_cache_parity():
+    """parse_run's two-level kind cache (full kind, and kind with the
+    per-paragraph p= field stripped) must agree with the uncached parser
+    for every field, across repeated/permuted kinds, non-canonical field
+    orders, and the malformed-p error path."""
+    import random
+
+    import wordscape_spark.signal as sig
+
+    random.seed(3)
+    kinds = []
+    for _ in range(200):
+        kinds.append(
+            sig.encode_run(
+                par=random.randint(0, 40),
+                style=random.choice(["", "normal", "heading 1", "título"]),
+                par_size=random.choice([-1.0, 10.0, 11.5]),
+                par_bold=random.choice([None, True, False]),
+                par_italic=random.choice([None, True, False]),
+                size=random.choice([-1.0, 9.0, 24.0]),
+                bold=random.choice([None, True, False]),
+                italic=random.choice([None, True, False]),
+                underline=random.random() < 0.2,
+                math=random.random() < 0.1,
+                numbered=random.random() < 0.1,
+            )
+        )
+    kinds.append("r;p=7")                      # no rest after p
+    kinds.append("r;s=odd;p=3")                # p not the first field
+    sig._RUN_KIND_CACHE.clear()
+    sig._RUN_REST_CACHE.clear()
+    for kind in kinds * 2:  # second round exercises the caches
+        assert sig.parse_run(kind, "t") == sig._parse_run_uncached(kind, "t")
+    # malformed paragraph index must still raise (→ error:ValueError reject)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sig.parse_run("r;p=xy;s=a;psz=1;pb=-;pi=-;sz=1;b=-;i=-;u=0;m=0;n=0", "t")

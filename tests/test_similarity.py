@@ -135,3 +135,63 @@ def test_training_sample_mirror_parity(spark, emb):
     py_sample = [[float(x) for x in r["embedding"]] for r in mirrored]
 
     assert spark_sample == py_sample
+
+
+def test_brute_force_pruning_parity_with_allpairs(spark):
+    """The GEMM candidate-pruning path must be row-exact vs the all-pairs
+    expression form on adversarial data: exact duplicate vectors (rounded
+    ties broken by neighbor_id), near ties straddling the 4-dp boundary,
+    zero vectors, and a corpus smaller than k."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    def allpairs(corpus, queries, k=5):
+        q = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+        )
+        c = corpus.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cvec"),
+        )
+        scored = (
+            c.join(F.broadcast(q))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("cos", F.expr(SIM._cosine_expr("qvec", "cvec")))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos", "rank")
+        )
+
+    base = [1.0, 2.0, 3.0, 0.5]
+    rows = []
+    for i in range(120):
+        if i % 3 == 0:
+            rows.append((i, list(base)))  # exact duplicates: cos ties
+        elif i % 3 == 1:
+            rows.append((i, [x + 0.00001 * i for x in base]))  # near ties
+        else:
+            rows.append((i, [float(i), 1.0, -2.0, 0.1]))
+    rows.append((500, [0.0, 0.0, 0.0, 0.0]))  # zero vector
+    adv = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).repartition(8)
+    qadv = adv.filter("vec_id % 7 = 0")
+    got = sorted(map(tuple, SIM.brute_force_topk(adv, qadv, k=5).collect()))
+    want = sorted(map(tuple, allpairs(adv, qadv, k=5).collect()))
+    assert got == want
+
+    tiny = spark.createDataFrame(
+        rows[:3], "vec_id bigint, embedding array<double>"
+    )
+    got = sorted(map(tuple, SIM.brute_force_topk(tiny, tiny, k=5).collect()))
+    want = sorted(map(tuple, allpairs(tiny, tiny, k=5).collect()))
+    assert got == want
+
+    empty_q = adv.filter("vec_id > 10000")
+    assert SIM.brute_force_topk(adv, empty_q, k=5).collect() == []
