@@ -1125,8 +1125,39 @@ def _tm_luts():
     return _TM_LUT
 
 
+# cap the characters processed per vectorized sub-batch: the pass
+# materializes ~12 bytes of scratch per character (utf-32 codes + masks),
+# so an Arrow batch of 10k near-salt-threshold documents must not be
+# joined wholesale (32M chars ≈ 400 MB peak scratch, bounded regardless
+# of row count)
+_TM_BATCH_CHAR_CAP = 1 << 25
+
+
 def text_metrics_batch(texts: list[str]) -> list[dict[str, float]]:
-    """``[text_metrics(t) for t in texts]``, one vectorized pass."""
+    """``[text_metrics(t) for t in texts]``, one vectorized pass
+    (size-bounded sub-batches; results identical to the scalar form)."""
+    if not texts:
+        return []
+    total = 0
+    for i, t in enumerate(texts):
+        total += len(t)
+        if total > _TM_BATCH_CHAR_CAP and i + 1 < len(texts):
+            out: list[dict[str, float]] = []
+            lo = 0
+            run = 0
+            for j, tj in enumerate(texts):
+                run += len(tj)
+                if run > _TM_BATCH_CHAR_CAP and j > lo:
+                    out.extend(_text_metrics_batch_one(texts[lo:j]))
+                    lo = j
+                    run = len(tj)
+            out.extend(_text_metrics_batch_one(texts[lo:]))
+            return out
+    return _text_metrics_batch_one(texts)
+
+
+def _text_metrics_batch_one(texts: list[str]) -> list[dict[str, float]]:
+    """One unchunked vectorized pass (see text_metrics_batch)."""
     import numpy as np
 
     if not texts:
