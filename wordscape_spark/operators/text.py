@@ -114,9 +114,11 @@ def metrics_exprs(col: str, dialect: str) -> dict[str, str]:
     # non-empty tokens (≡ python str.split after punct deletion)
     nopunct = f"translate({col}, {dlit(_PUNCT_CHARS)}, '')"
     if dialect == "spark":
-        words = (
-            f"size(filter(split({nopunct}, '\\\\s+'), t -> t != ''))"
-        )
+        # count of non-empty whitespace-split tokens ≡ count of maximal
+        # non-whitespace runs — one regexp_count pass, no token array
+        # (bit-identical; the DuckDB branch stays the oracle's
+        # split-and-filter form)
+        words = f"regexp_count({nopunct}, '\\\\S+')"
     else:
         words = (
             f"len(list_filter(regexp_split_to_array({nopunct}, '\\s+'), "
