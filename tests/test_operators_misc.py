@@ -105,6 +105,22 @@ def test_media_pipeline_end_to_end(spark):
         MM.extract_features(media, decode_real=True).count()
 
 
+def test_media_features_fused_matches_unfused(spark):
+    """The fused generator+featurizer stage (media_features) must be
+    row-identical to extract_features(media_table(...)) — it is what the
+    media_features query now runs."""
+    docs = SRC.read_docs(spark, datagen.ensure_interleaved(0.001))
+    unfused = sorted(
+        map(tuple, MM.extract_features(MM.media_table(docs)).collect())
+    )
+    fused = sorted(map(tuple, MM.media_features(docs).collect()))
+    assert fused == unfused
+    assert (
+        MM.media_features(docs).schema
+        == MM.extract_features(MM.media_table(docs)).schema
+    )
+
+
 def test_media_resize_and_frames(spark):
     docs = SRC.read_docs(spark, datagen.ensure_interleaved(0.001))
     media = MM.media_table(docs).persist()

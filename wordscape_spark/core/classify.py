@@ -50,6 +50,13 @@ class Run:
     bold: bool | None = None
     italic: bool | None = None
     underline: bool = False
+    # precomputed at parse time (parse_elements): the resolved fontprop key
+    # (run props with paragraph fallback — identical derivation to the one
+    # classify_runs/_evaluate_paragraph previously repeated per run) and the
+    # is_whitespace flag.  Both are pure functions of the run + its
+    # paragraph's creation props, so hoisting them is exact.
+    fp: str = ""
+    ws: bool = False
 
 
 @dataclasses.dataclass(slots=True)
@@ -130,7 +137,14 @@ def parse_elements(
     parse_run = sig.parse_run
     parse_fields = sig.parse_fields
     parse_cell = sig.parse_cell
+    fontprop = sig.fontprop_string
+    unknown = sig.FONT_UNKNOWN
     cur_el = None  # last appended element (avoids elements[-1] per span)
+    # paragraph-fallback props of the CURRENT BodyPar (rebound at par
+    # creation): the per-run resolved fontprop is precomputed here once
+    # instead of re-derived in _evaluate_paragraph AND classify_runs
+    p_size = unknown
+    p_bold = p_italic = None
 
     for kind, text, media_ref, _off in ordered:
         text = text or ""
@@ -153,14 +167,24 @@ def parse_elements(
                 )
                 elements.append(cur_el)
                 cur_key = key
+                p_size = r.par_size
+                p_bold = r.par_bold
+                p_italic = r.par_italic
             par = cur_el
             if r.math:
                 par.math = True
             if r.numbered:
                 par.numbered = True
+            size = r.size
             par.runs.append(
-                Run(text=text, size=r.size, bold=r.bold, italic=r.italic,
-                    underline=r.underline)
+                Run(text=text, size=size, bold=r.bold, italic=r.italic,
+                    underline=r.underline,
+                    fp=fontprop(
+                        size if size != unknown else p_size,
+                        r.bold if r.bold is not None else p_bold,
+                        r.italic if r.italic is not None else p_italic,
+                    ),
+                    ws=not text.strip(" \n\t\r"))
             )
         elif tag in ("hp", "fp", "xp"):
             _, fields = parse_fields(kind)
@@ -303,24 +327,26 @@ class FontHeuristics:
         all_runs_italic = True
         all_runs_whitespace = True
         run_font_sizes: list[float] = []
-        # hot loop: bind lookups once per paragraph
+        # hot loop: bind lookups once per paragraph; the resolved fontprop
+        # and whitespace flag are precomputed per run at parse time
         p_size, p_bold, p_italic = par_props
         fsc = self.font_size_count
         fsa = self.font_size_appearances
-        is_ws = sig.is_whitespace
-        fontprop = sig.fontprop_string
         unknown = sig.FONT_UNKNOWN
 
         for run in par.runs:
-            size = run.size if run.size != unknown else p_size
-            bold = run.bold if run.bold is not None else p_bold
-            italic = run.italic if run.italic is not None else p_italic
-            if not is_ws(run.text):
-                all_runs_bold = all_runs_bold and bold
-                all_runs_italic = all_runs_italic and italic
-                run_font_sizes.append(size)
+            if not run.ws:
+                all_runs_bold = all_runs_bold and (
+                    run.bold if run.bold is not None else p_bold
+                )
+                all_runs_italic = all_runs_italic and (
+                    run.italic if run.italic is not None else p_italic
+                )
+                run_font_sizes.append(
+                    run.size if run.size != unknown else p_size
+                )
                 all_runs_whitespace = False
-            fp = fontprop(size, bold, italic)
+            fp = run.fp
             fsc[fp] = fsc.get(fp, 0) + len(run.text)
             if fp not in already_counted:
                 fsa[fp] = fsa.get(fp, 0) + 1
@@ -419,25 +445,19 @@ class FontHeuristics:
         ws_indices: list[int] = []
         prev_was_heading = True
         heading_len = 0
-        # hot loop: bind lookups once per paragraph
-        is_ws = sig.is_whitespace
-        fontprop = sig.fontprop_string
-        unknown = sig.FONT_UNKNOWN
-        p_size, p_bold, p_italic = par.par_size, par.par_bold, par.par_italic
+        # hot loop: bind lookups once per paragraph; fp/ws precomputed per
+        # run at parse time
         hmap = self.heuristic_map
         WS, TEXT, TITLE = tax.WHITESPACE, tax.TEXT, tax.TITLE
 
         for run in par.runs:
-            if is_ws(run.text):
+            if run.ws:
                 run_cats.append(WS)
                 ws_indices.append(len(run_cats) - 1)
                 char_count[WS] = char_count.get(WS, 0) - 1
                 continue
 
-            size = run.size if run.size != unknown else p_size
-            bold = run.bold if run.bold is not None else p_bold
-            italic = run.italic if run.italic is not None else p_italic
-            fp = fontprop(size, bold, italic)
+            fp = run.fp
 
             if fp in hmap:
                 cat = _level_to_category(hmap[fp])
@@ -734,17 +754,22 @@ def _emit_heuristic_par(
     elif par_colored:
         # run-level categories become their own spans; heading runs are only
         # honored when starting the par or continuing an equal heading
-        # (ref: colorization_handler.py:270-276)
-        effective = list(run_cats)
+        # (ref: colorization_handler.py:270-276).  The gate only rewrites
+        # heading categories, so paragraphs without any (the common case)
+        # skip the copy + scan entirely.
         heading_set = _HEADING_SET
-        for i, cat in enumerate(run_cats):
-            if cat in heading_set:
-                if (
-                    i != 0
-                    and run_cats[i - 1] != cat
-                    and not runs[i - 1].text.endswith("\r")
-                ):
-                    effective[i] = main
+        if heading_set.isdisjoint(run_cats):
+            effective = run_cats
+        else:
+            effective = list(run_cats)
+            for i, cat in enumerate(run_cats):
+                if cat in heading_set:
+                    if (
+                        i != 0
+                        and run_cats[i - 1] != cat
+                        and not runs[i - 1].text.endswith("\r")
+                    ):
+                        effective[i] = main
         # merge consecutive same-category segments into spans
         seg_cat: str | None = None
         seg_text = ""
@@ -1107,9 +1132,13 @@ def _tm_luts():
     if _TM_LUT is None:
         import numpy as np
 
+        # uint8 class tables: the per-character gathers write 1 byte per
+        # character instead of 8 (the per-segment sums go through
+        # ``np.add.reduceat(..., dtype=int64)``, so no overflow) — the pass
+        # is memory-bandwidth-bound, so narrower scratch is directly faster
         bmp = "".join(map(chr, range(0x10000)))
-        alpha = np.zeros(0x10000, dtype=np.int64)
-        digit = np.zeros(0x10000, dtype=np.int64)
+        alpha = np.zeros(0x10000, dtype=np.uint8)
+        digit = np.zeros(0x10000, dtype=np.uint8)
         for ch in _NON_ALPHA.sub("", bmp):
             alpha[ord(ch)] = 1
         for ch in _NON_NUM.sub("", bmp):
@@ -1118,9 +1147,9 @@ def _tm_luts():
         for cp in range(0x10000):
             if chr(cp).isspace():
                 space[cp] = True
-        punct = np.zeros(0x10000, dtype=bool)
+        punct = np.zeros(0x10000, dtype=np.uint8)
         for ch in _string.punctuation:
-            punct[ord(ch)] = True
+            punct[ord(ch)] = 1
         _TM_LUT = (alpha, digit, space, punct)
     return _TM_LUT
 
@@ -1175,22 +1204,24 @@ def _text_metrics_batch_one(texts: list[str]) -> list[dict[str, float]]:
     )
     starts = np.zeros(len(texts), dtype=np.int64)
     np.cumsum(lengths[:-1] + 1, out=starts[1:])
-    n_alph = np.add.reduceat(alpha[codes], starts)
-    n_num = np.add.reduceat(digit[codes], starts)
+    n_alph = np.add.reduceat(alpha[codes], starts, dtype=np.int64)
+    n_num = np.add.reduceat(digit[codes], starts, dtype=np.int64)
     # words: drop ascii punctuation, then count runs of
     # non-whitespace.  The '\n' separators are never punctuation, so
     # every doc's (filtered) segment stays non-empty and no run
-    # crosses a doc boundary.
-    keep = ~punct[codes]
-    fcodes = codes[keep]
-    kept_before = np.cumsum(keep)
-    kstarts = np.zeros(len(texts), dtype=np.int64)
+    # crosses a doc boundary.  Start positions in the punctuation-
+    # filtered array are derived from the per-doc punctuation counts
+    # (a cumsum over n_docs elements) instead of a full-length cumsum.
+    pm = punct[codes]
+    npunct = np.add.reduceat(pm, starts, dtype=np.int64)
+    kstarts = starts.copy()
     if len(texts) > 1:
-        kstarts[1:] = kept_before[starts[1:] - 1]
+        kstarts[1:] -= np.cumsum(npunct[:-1])
+    fcodes = codes[pm == 0]
     w = ~space[fcodes]
     runs = w.copy()
     runs[1:] &= ~w[:-1]
-    n_words = np.add.reduceat(runs.astype(np.int64), kstarts)
+    n_words = np.add.reduceat(runs.view(np.uint8), kstarts, dtype=np.int64)
     out = []
     for i in range(len(texts)):
         na = int(n_alph[i])

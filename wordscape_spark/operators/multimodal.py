@@ -53,6 +53,33 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+_SEED_EXPR = "md5(concat(doc_id, '/', media_ref))"
+_H16_EXPR = f"CAST(conv(substr({_SEED_EXPR}, 1, 4), 16, 10) AS INT)"
+
+
+def _figure_refs(docs: DataFrame) -> DataFrame:
+    """(doc_id, media_ref, n_bytes) for every figure span — the shared
+    derivation head of ``media_table`` and the fused ``media_features``
+    (identical n_bytes arithmetic by construction).
+
+    The media_ref array is projected OUT of the span structs before the
+    explode: exploding the full struct defeats nested-schema pruning, so the
+    scan would decode every span's text column (the bulk of the table) just
+    to read the refs (verified in the plan: ReadSchema carried the full
+    struct).  Element order — and therefore the exploded row sequence — is
+    unchanged."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.col("spans").getField("media_ref")).alias(
+                "media_ref"
+            ),
+        )
+        .filter(F.col("media_ref").isNotNull())
+        .withColumn("n_bytes", F.expr(f"64 + ({_H16_EXPR} % 4096)"))
+    )
+
+
 def media_table(docs: DataFrame) -> DataFrame:
     """Derive the media table from figure spans of the interleaved input.
 
@@ -60,20 +87,10 @@ def media_table(docs: DataFrame) -> DataFrame:
     deterministic sizes/dimensions derived from the same hash (SQL-
     reproducible: length = 64 + hash16 % 4096).
     """
-    figs = (
-        docs.select(
-            "doc_id",
-            F.explode("spans").alias("s"),
-        )
-        .filter(F.col("s.media_ref").isNotNull())
-        .select("doc_id", F.col("s.media_ref").alias("media_ref"))
-    )
-    seed = "md5(concat(doc_id, '/', media_ref))"
-    h16 = f"CAST(conv(substr({seed}, 1, 4), 16, 10) AS INT)"
-    figs = figs.withColumn("n_bytes", F.expr(f"64 + ({h16} % 4096)"))
+    figs = _figure_refs(docs)
     figs = figs.withColumn(
-        "width", F.expr(f"32 + ({h16} % 993)")
-    ).withColumn("height", F.expr(f"32 + (CAST(conv(substr({seed}, 5, 4), 16, 10) AS INT) % 993)"))
+        "width", F.expr(f"32 + ({_H16_EXPR} % 993)")
+    ).withColumn("height", F.expr(f"32 + (CAST(conv(substr({_SEED_EXPR}, 5, 4), 16, 10) AS INT) % 993)"))
 
     def gen_bytes(batches):
         # mapInArrow: the binary payload column is assembled once as an
@@ -218,6 +235,76 @@ def extract_features(
     return media.select("doc_id", "media_ref", "content").mapInArrow(
         features_arrow, schema=FEATURE_SCHEMA
     )
+
+
+def media_features(docs: DataFrame) -> DataFrame:
+    """``extract_features(media_table(docs))`` fused into ONE Python stage.
+
+    Row-identical to the unfused composition (pinned by test): the
+    pseudo-payload is generated AND featurized inside the same mapInArrow,
+    so the ~KB-per-row binary column never crosses the Python↔JVM boundary
+    at all — the unfused pair serializes every payload out of the generator
+    stage and back into the feature stage (guide §8: when only features of
+    heavy bytes leave a stage, move the bytes zero times).  Feature math is
+    byte-exact: n_bytes is the generated length; the byte sum telescopes
+    over whole 16-byte digest repeats (exact integer arithmetic, same
+    ``round``); phash is the same md5 over the materialized payload.
+
+    ``media_table`` / ``extract_features`` remain the public operators for
+    pipelines that materialize or re-consume the media table itself.
+
+    Even ``n_bytes`` is derived Python-side from the SAME seed digest the
+    payload generator already computes (``h16 = int(digest[:2])`` ≡
+    ``conv(substr(md5(seed),1,4),16,10)`` — the first four hex chars ARE the
+    first two bytes), so the JVM side ships only (doc_id, media_ref) and
+    evaluates no per-row md5/conv expression at all.
+    """
+    # project the ref array out of the structs BEFORE exploding — the full-
+    # struct explode defeats nested-schema pruning and decodes every span
+    # text at the scan (see _figure_refs)
+    figs = (
+        docs.select(
+            "doc_id",
+            F.explode(F.col("spans").getField("media_ref")).alias(
+                "media_ref"
+            ),
+        )
+        .filter(F.col("media_ref").isNotNull())
+    )
+
+    def gen_features(batches):
+        import pyarrow as pa
+
+        md5 = hashlib.md5
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            doc_ids = batch.column(0)
+            refs = batch.column(1)
+            sizes = []
+            means = []
+            phashes = []
+            for doc_id, ref in zip(doc_ids.to_pylist(), refs.to_pylist()):
+                digest = md5(f"{doc_id}/{ref}".encode()).digest()
+                n = 64 + (int.from_bytes(digest[:2], "big") % 4096)
+                content = (digest * (n // 16 + 1))[:n]
+                q, r = divmod(n, 16)
+                s = q * sum(digest) + sum(digest[:r])
+                sizes.append(n)
+                means.append(round(s / n, 6) if n else 0.0)
+                phashes.append(md5(content).hexdigest()[:16])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_ids,
+                    refs,
+                    pa.array(sizes, type=pa.int64()),
+                    pa.array(means, type=pa.float64()),
+                    pa.array(phashes, type=pa.string()),
+                ],
+                names=[f.name for f in FEATURE_SCHEMA.fields],
+            )
+
+    return figs.mapInArrow(gen_features, schema=FEATURE_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType(

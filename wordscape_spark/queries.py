@@ -1811,8 +1811,10 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = MM.media_table(_interleaved(spark, sf_dir))
-    return MM.extract_features(media)
+    # fused generator+featurizer (row-identical to
+    # extract_features(media_table(...)), pinned by test_multimodal): the
+    # binary payload column never crosses the Python↔JVM boundary
+    return MM.media_features(_interleaved(spark, sf_dir))
 
 
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:

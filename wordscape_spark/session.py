@@ -32,6 +32,17 @@ def build_session(
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[{}]".format(
         os.environ.get("SPARK_GRAFT_CPUS", "32")
     )
+    # Python workers import this package (UDF closures reference its
+    # modules) and the fastdaemon module below; putting the repo root on
+    # PYTHONPATH before the JVM launches makes both importable in every
+    # worker regardless of the worker's cwd.  Must happen before
+    # getOrCreate() — the JVM child process inherits this environment.
+    _repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _repo_root not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _repo_root + (os.pathsep + _pp if _pp else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -67,6 +78,16 @@ def build_session(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # worker daemon with cached zip-import invalidation: stock
+        # pyspark.worker calls importlib.invalidate_caches() per TASK, and
+        # Python 3.11 re-parses every sys.path zip's central directory on
+        # each call (~0.2 s of CPU per task with the distribution zips —
+        # a 256-split Python stage pays ~1.6 s on 32 cores before any work).
+        # The daemon backports CPython 3.12's mtime guard (gh-87319); a zip
+        # that actually changes is still re-read.  See fastdaemon.py.
+        .config(
+            "spark.python.daemon.module", "wordscape_spark.fastdaemon"
+        )
     )
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
