@@ -142,3 +142,58 @@ def test_null_spans_doc_rejects_not_vanishes(spark):
             }
             assert set(got) == {"ok_empty", "nullish"}, (fn.__name__, got)
             assert got["nullish"] == "null_spans", fn.__name__
+
+
+def test_colwise_record_batch_matches_from_pylist():
+    """The column-wise Arrow builders must be byte-identical to
+    RecordBatch.from_pylist over the row dicts — including reject rows,
+    empty spans, None media_refs and unicode."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from wordscape_spark import datagen
+    from wordscape_spark.config import DEFAULT_CONFIG
+    from wordscape_spark.core import classify as C
+    from wordscape_spark.operators import extract as X
+
+    import pyarrow.parquet as pq
+
+    path = datagen.ensure_interleaved(0.001)
+    pf = pq.ParquetFile(path)
+    results = []
+    for g in range(pf.num_row_groups):
+        b = pf.read_row_group(g, columns=["doc_id", "spans"])
+        ids = b.column("doc_id").to_pylist()
+        spans = b.column("spans").to_pylist()
+        for d, sp in zip(ids, spans):
+            tuples = [
+                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in sp
+            ]
+            results.append((d, X._safe_classify_tuples(tuples, DEFAULT_CONFIG)))
+    # synthetic edge rows: reject (error), empty doc, unicode text
+    results.append(("rej", C.DocResult(False, "error:X", [], "", {}, 0.0, {})))
+    results.append(
+        ("uni", X._safe_classify_tuples(
+            [("r;p=0;s=;psz=12.0;pb=-;pi=-;sz=12.0;b=-;i=-;u=0;m=0;n=0",
+              "héllo wörld ½" * 20, None, 0)],
+            DEFAULT_CONFIG))
+    )
+    assert any(not r.ok for _, r in results)  # rejects are exercised
+
+    slim_schema = to_arrow_schema(X.EXTRACTED_SLIM_SCHEMA)
+    rows_slim = [X._result_row_slim(d, r) for d, r in results]
+    expect_slim = pa.RecordBatch.from_pylist(rows_slim, schema=slim_schema)
+    assert X._slim_record_batch(results, slim_schema).equals(expect_slim)
+
+    full_schema = to_arrow_schema(X.EXTRACTED_SCHEMA)
+    metrics = C.text_metrics_batch(
+        [r.text if r.ok else "" for _, r in results]
+    )
+    rows_full = [
+        X._result_row(d, r, m) for (d, r), m in zip(results, metrics)
+    ]
+    expect_full = pa.RecordBatch.from_pylist(rows_full, schema=full_schema)
+    assert X._full_record_batch(results, metrics, full_schema).equals(
+        expect_full
+    )

@@ -247,6 +247,207 @@ def _make_classify_fn(cfg: ExtractConfig):
     return classify_batches
 
 
+def _slim_record_batch(results, arrow_schema):
+    """Column-wise Arrow assembly of slim rows (doc_id, DocResult pairs).
+
+    Byte-identical to ``RecordBatch.from_pylist`` over ``_result_row_slim``
+    rows (pinned by test) without materializing a dict per row and per span
+    — from_pylist re-hashes every field name for every span."""
+    import pyarrow as pa
+
+    S = pa.string()
+    I32 = pa.int32()
+    doc_ids = []
+    oks = []
+    rejects = []
+    sk: list = []
+    st: list = []
+    sm: list = []
+    so: list = []
+    sp: list = []
+    soff = [0]
+    stot = 0
+    for d, r in results:
+        doc_ids.append(d)
+        oks.append(r.ok)
+        rejects.append(r.reject_reason)
+        spans = r.spans
+        if spans:
+            pages = (
+                r.span_pages
+                if len(r.span_pages) == len(spans)
+                else [1] * len(spans)
+            )
+            ks, ts, ms, os_ = zip(*spans)
+            sk.extend(ks)
+            st.extend(ts)
+            sm.extend(ms)
+            so.extend(os_)
+            sp.extend(pages)
+            stot += len(spans)
+        soff.append(stot)
+    spans_arr = pa.ListArray.from_arrays(
+        pa.array(soff, I32),
+        pa.StructArray.from_arrays(
+            [pa.array(sk, S), pa.array(st, S), pa.array(sm, S),
+             pa.array(so, I32), pa.array(sp, I32)],
+            names=["kind", "text", "media_ref", "offset", "page"],
+        ),
+    )
+    return pa.RecordBatch.from_arrays(
+        [pa.array(doc_ids, S), pa.array(oks, pa.bool_()),
+         pa.array(rejects, S), spans_arr],
+        schema=arrow_schema,
+    )
+
+
+def _full_record_batch(results, metrics, arrow_schema):
+    """Column-wise Arrow assembly of full EXTRACTED_SCHEMA rows — the
+    column-by-column twin of ``_result_row`` + ``from_pylist`` (map entry
+    order = dict insertion order, exactly like from_pylist; pinned by
+    test)."""
+    import pyarrow as pa
+
+    S = pa.string()
+    I32 = pa.int32()
+    I64 = pa.int64()
+    F64 = pa.float64()
+    doc_ids = []
+    oks = []
+    rejects = []
+    texts = []
+    quality = []
+    sk: list = []
+    st: list = []
+    sm: list = []
+    so: list = []
+    sp: list = []
+    soff = [0]
+    pg_num: list = []
+    pg_text: list = []
+    pgoff = [0]
+    pgc_k: list = []
+    pgc_v: list = []
+    pgcoff = [0]
+    cnt_k: list = []
+    cnt_v: list = []
+    cntoff = [0]
+    bp_k: list = []
+    bp_v: list = []
+    bpoff = [0]
+    pr_k: list = []
+    pr_v: list = []
+    proff = [0]
+    lt: list = []
+    ltoff = [0]
+    nw = []
+    nc = []
+    nal = []
+    nnu = []
+    nan_ = []
+    ap = []
+    ar = []
+    stot = ptot = pctot = ctot = btot = prtot = ltot = 0
+    for (d, r), m in zip(results, metrics):
+        doc_ids.append(d)
+        oks.append(r.ok)
+        rejects.append(r.reject_reason)
+        texts.append(r.text)
+        quality.append(float(r.quality))
+        spans = r.spans
+        if spans:
+            pages = (
+                r.span_pages
+                if len(r.span_pages) == len(spans)
+                else [1] * len(spans)
+            )
+            ks, ts, ms, os_ = zip(*spans)
+            sk.extend(ks)
+            st.extend(ts)
+            sm.extend(ms)
+            so.extend(os_)
+            sp.extend(pages)
+            stot += len(spans)
+        soff.append(stot)
+        for p, t_, c in r.pages:
+            pg_num.append(p)
+            pg_text.append(t_)
+            for k, v in c.items():
+                pgc_k.append(k)
+                pgc_v.append(int(v))
+                pctot += 1
+            pgcoff.append(pctot)
+            ptot += 1
+        pgoff.append(ptot)
+        for k, v in r.counts.items():
+            cnt_k.append(k)
+            cnt_v.append(int(v))
+            ctot += 1
+        cntoff.append(ctot)
+        for k, v in r.builtin_props.items():
+            bp_k.append(k)
+            bp_v.append(v)
+            btot += 1
+        bpoff.append(btot)
+        for k, v in r.props.items():
+            pr_k.append(k)
+            pr_v.append(v)
+            prtot += 1
+        proff.append(prtot)
+        lt.extend(r.lang_tags)
+        ltot += len(r.lang_tags)
+        ltoff.append(ltot)
+        nw.append(int(m["num_words"]))
+        nc.append(int(m["num_chars"]))
+        nal.append(int(m["num_alph_chars"]))
+        nnu.append(int(m["num_numeric_chars"]))
+        nan_.append(int(m["num_alphnum_chars"]))
+        ap.append(float(m["alnum_prop"]))
+        ar.append(float(m["alph_to_num_ratio"]))
+    spans_arr = pa.ListArray.from_arrays(
+        pa.array(soff, I32),
+        pa.StructArray.from_arrays(
+            [pa.array(sk, S), pa.array(st, S), pa.array(sm, S),
+             pa.array(so, I32), pa.array(sp, I32)],
+            names=["kind", "text", "media_ref", "offset", "page"],
+        ),
+    )
+    pages_arr = pa.ListArray.from_arrays(
+        pa.array(pgoff, I32),
+        pa.StructArray.from_arrays(
+            [
+                pa.array(pg_num, I32),
+                pa.array(pg_text, S),
+                pa.MapArray.from_arrays(
+                    pa.array(pgcoff, I32),
+                    pa.array(pgc_k, S),
+                    pa.array(pgc_v, I64),
+                ),
+            ],
+            names=["page", "text", "counts"],
+        ),
+    )
+    counts_map = pa.MapArray.from_arrays(
+        pa.array(cntoff, I32), pa.array(cnt_k, S), pa.array(cnt_v, I64)
+    )
+    bp_map = pa.MapArray.from_arrays(
+        pa.array(bpoff, I32), pa.array(bp_k, S), pa.array(bp_v, F64)
+    )
+    pr_map = pa.MapArray.from_arrays(
+        pa.array(proff, I32), pa.array(pr_k, S), pa.array(pr_v, S)
+    )
+    lt_arr = pa.ListArray.from_arrays(pa.array(ltoff, I32), pa.array(lt, S))
+    return pa.RecordBatch.from_arrays(
+        [pa.array(doc_ids, S), pa.array(oks, pa.bool_()),
+         pa.array(rejects, S), spans_arr, pages_arr, pa.array(texts, S),
+         counts_map, pa.array(quality, F64), bp_map, pr_map, lt_arr,
+         pa.array(nw, I64), pa.array(nc, I64), pa.array(nal, I64),
+         pa.array(nnu, I64), pa.array(nan_, I64), pa.array(ap, F64),
+         pa.array(ar, F64)],
+        schema=arrow_schema,
+    )
+
+
 def _make_classify_arrow_fn(
     cfg: ExtractConfig, row_fn=None, out_schema=None
 ):
@@ -314,17 +515,19 @@ def _make_classify_arrow_fn(
                     )
             if not results:
                 continue
+            # column-wise Arrow assembly for the two known surfaces (byte-
+            # identical to from_pylist over the row dicts — pinned by test);
+            # any other row_fn keeps the generic row-dict path
             if batch_metrics:
                 metrics = C.text_metrics_batch(
                     [res.text if res.ok else "" for _, res in results]
                 )
-                rows = [
-                    _result_row(doc_id, res, m)
-                    for (doc_id, res), m in zip(results, metrics)
-                ]
+                yield _full_record_batch(results, metrics, arrow_schema)
+            elif row_fn is _result_row_slim:
+                yield _slim_record_batch(results, arrow_schema)
             else:
                 rows = [row_fn(doc_id, res) for doc_id, res in results]
-            yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
+                yield pa.RecordBatch.from_pylist(rows, schema=arrow_schema)
 
     return classify_batches
 
