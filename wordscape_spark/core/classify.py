@@ -96,6 +96,9 @@ class Sdt:
 class TableEl:
     cells: list[sig.CellSignal]
     parent: int | None = None  # parent table idx when nested
+    # serialize_table memo: cells are never mutated after parse_elements, and
+    # top-level tables are serialized twice (page text + document text)
+    _text: str | None = dataclasses.field(default=None, repr=False)
 
 
 @dataclasses.dataclass(slots=True)
@@ -176,15 +179,19 @@ def parse_elements(
             if r.numbered:
                 par.numbered = True
             size = r.size
+            # positional construction (field order: text, size, bold,
+            # italic, underline, fp, ws) — kwarg binding is measurable at
+            # one call per span
             par.runs.append(
-                Run(text=text, size=size, bold=r.bold, italic=r.italic,
-                    underline=r.underline,
-                    fp=fontprop(
+                Run(
+                    text, size, r.bold, r.italic, r.underline,
+                    fontprop(
                         size if size != unknown else p_size,
                         r.bold if r.bold is not None else p_bold,
                         r.italic if r.italic is not None else p_italic,
                     ),
-                    ws=not text.strip(" \n\t\r"))
+                    not text.strip(" \n\t\r"),
+                )
             )
         elif tag in ("hp", "fp", "xp"):
             _, fields = parse_fields(kind)
@@ -230,11 +237,19 @@ def parse_elements(
 
 
 def serialize_table(tbl: TableEl) -> str:
-    """Cells joined by \\t, rows by \\n (ref: text_extraction.py:121-135)."""
-    rows: dict[int, list[str]] = {}
-    for c in tbl.cells:
-        rows.setdefault(c.row, []).append(c.text)
-    return "\n".join("\t".join(cells) for _, cells in sorted(rows.items()))
+    """Cells joined by \\t, rows by \\n (ref: text_extraction.py:121-135).
+
+    Memoized on the element: cells are fixed after parsing and each
+    top-level table is serialized for both the page text and the document
+    text."""
+    if tbl._text is None:
+        rows: dict[int, list[str]] = {}
+        for c in tbl.cells:
+            rows.setdefault(c.row, []).append(c.text)
+        tbl._text = "\n".join(
+            "\t".join(cells) for _, cells in sorted(rows.items())
+        )
+    return tbl._text
 
 
 def serialize_text(elements: Iterable[Element]) -> str:
@@ -318,20 +333,32 @@ class FontHeuristics:
         self._build_map()
 
     def _evaluate_paragraph(self, par: BodyPar) -> None:
-        par_props: list = [par.par_size, par.par_bold, par.par_italic]
         heading_level = _HEADING_STYLE_LEVEL.get(par.style)
-        builtin_heading_flag = heading_level is not None
 
         already_counted: set[str] = set()
+        # hot loop: bind lookups once per paragraph; the resolved fontprop
+        # and whitespace flag are precomputed per run at parse time
+        fsc = self.font_size_count
+        fsa = self.font_size_appearances
+
+        if heading_level is None:
+            # common case (no builtin heading style): the run-aggregate
+            # flags below are never consumed — only the fontprop counters
+            # accumulate
+            for run in par.runs:
+                fp = run.fp
+                fsc[fp] = fsc.get(fp, 0) + len(run.text)
+                if fp not in already_counted:
+                    fsa[fp] = fsa.get(fp, 0) + 1
+                    already_counted.add(fp)
+            return
+
+        par_props: list = [par.par_size, par.par_bold, par.par_italic]
         all_runs_bold = True
         all_runs_italic = True
         all_runs_whitespace = True
         run_font_sizes: list[float] = []
-        # hot loop: bind lookups once per paragraph; the resolved fontprop
-        # and whitespace flag are precomputed per run at parse time
         p_size, p_bold, p_italic = par_props
-        fsc = self.font_size_count
-        fsa = self.font_size_appearances
         unknown = sig.FONT_UNKNOWN
 
         for run in par.runs:
@@ -352,7 +379,7 @@ class FontHeuristics:
                 fsa[fp] = fsa.get(fp, 0) + 1
                 already_counted.add(fp)
 
-        if builtin_heading_flag and not all_runs_whitespace and len(par.runs) > 0:
+        if not all_runs_whitespace and len(par.runs) > 0:
             # run-level overrides of the paragraph props
             # (ref: build_heuristics.py:138-147)
             eff = list(par_props)
@@ -535,11 +562,15 @@ def _quote_check(par: BodyPar) -> bool:
 _FOLLOWER_SET = frozenset(tax.NUMBERING_FOLLOWERS)
 
 
-def _list_check_run(text: str) -> bool:
+def _list_check_run(
+    text: str,
+    _num_syms=tax.NUMBERING_SYMBOLS,
+    _followers=_FOLLOWER_SET,
+) -> bool:
     if len(text) == 0 or text.isspace():
         return False
     c0 = text[0]
-    if c0 in tax.NUMBERING_SYMBOLS:
+    if c0 in _num_syms:
         return True
     # maxsplit=1: only the first word is needed — a full split of a long
     # paragraph was the hottest line of the content-aware pass.  The
@@ -550,19 +581,25 @@ def _list_check_run(text: str) -> bool:
     n = len(first_word)
     w0 = first_word[0]  # != text[0] when text has leading whitespace
     # ^\w<follower>
-    if n >= 2 and (w0.isalnum() or w0 == "_") and first_word[1] in _FOLLOWER_SET:
+    if n >= 2 and (w0.isalnum() or w0 == "_") and first_word[1] in _followers:
         return True
     # ^[0-9]+<follower>
     i = 0
     while i < n and first_word[i].isdigit():
         i += 1
-    return 0 < i < n and first_word[i] in _FOLLOWER_SET
+    return 0 < i < n and first_word[i] in _followers
 
 
 def _list_check(par: BodyPar) -> bool:
-    if not par.runs:
+    # plain loop, not all(genexpr): most paragraphs fail on the first run,
+    # and the generator frame per paragraph was measurable in the profile
+    runs = par.runs
+    if not runs:
         return False
-    return all(_list_check_run(r.text) for r in par.runs)
+    for r in runs:
+        if not _list_check_run(r.text):
+            return False
+    return True
 
 
 def _form_handler(
@@ -931,7 +968,7 @@ def classify_elements(
             continue
 
         before = len(out_spans)
-        struct_delta: dict[str, int] = {}
+        struct_delta: dict[str, int] | None = None
 
         if isinstance(el, BodyPar):
             _classify_body_par(el, heuristics, out_spans, counter)
@@ -972,6 +1009,7 @@ def classify_elements(
                 counter, el.text, tax.SRC_XML_PATTERN, tax.NAME_TO_ID[cat]
             )
         elif isinstance(el, TableEl):
+            struct_delta = {}
             _classify_table(el, out_spans, counter, struct_delta)
         elif isinstance(el, Figure):
             out_spans.append((tax.FIGURE, "", el.media_ref))
@@ -979,15 +1017,16 @@ def classify_elements(
                 counter, None, tax.SRC_BUILTIN, tax.NAME_TO_ID[tax.FIGURE]
             )
 
-        new_spans = out_spans[before:]
-        if new_spans or struct_delta:
+        if len(out_spans) > before or struct_delta:
+            new_spans = out_spans[before:]
             span_pages.extend([page] * len(new_spans))
             pc = page_counts.setdefault(page, {})
             for kind, _t, _m in new_spans:
                 pc[kind] = pc.get(kind, 0) + 1
-            for k, v in struct_delta.items():
-                pc[k] = pc.get(k, 0) + v
-                counts[k] = counts.get(k, 0) + v
+            if struct_delta:
+                for k, v in struct_delta.items():
+                    pc[k] = pc.get(k, 0) + v
+                    counts[k] = counts.get(k, 0) + v
 
         # per-page body text (same serialization rule as serialize_text)
         if isinstance(el, BodyPar):
