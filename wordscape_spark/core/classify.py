@@ -545,6 +545,13 @@ def _form_check(par: BodyPar, min_len: int) -> bool:
     for run in par.runs:
         if run.underline and len(run.text) >= min_len and run.text.isspace():
             return True
+    t = par.text
+    if min_len >= 2 and "_" not in t and "…" not in t and ".." not in t:
+        # necessary condition for a run of >= 2 field symbols [_.…]: a run
+        # containing neither '_' nor '…' is all dots and so contains "..";
+        # three memchr scans beat the regex engine on the (typical) text
+        # with no field symbols at all
+        return False
     rx = _FIELD_RUN_RE.get(min_len)
     if rx is None:
         rx = _re_ca.compile(

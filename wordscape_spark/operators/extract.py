@@ -492,8 +492,21 @@ def _make_classify_arrow_fn(
                 # field access is BY NAME: a conforming table whose struct
                 # children are ordered differently (read_docs normalizes,
                 # but callers can hand extract() any DataFrame) must not be
-                # silently decoded in the wrong order
-                kinds = flat.field("kind").to_pylist()
+                # silently decoded in the wrong order.
+                # kind strings repeat heavily (~6× at the corpus mix):
+                # dictionary-encode so each distinct kind materializes ONE
+                # Python string (fewer allocations, and the shared objects
+                # make the parse-cache dict lookups identity-fast).  A NULL
+                # kind (malformed producer) keeps the plain decode so it
+                # still fails per-document inside _safe_classify_tuples.
+                kind_arr = flat.field("kind")
+                if kind_arr.null_count == 0:
+                    enc = kind_arr.dictionary_encode()
+                    uniq = enc.dictionary.to_pylist()
+                    kinds = [uniq[i] for i in enc.indices.to_numpy(
+                        zero_copy_only=False).tolist()]
+                else:
+                    kinds = kind_arr.to_pylist()
                 texts = flat.field("text").to_pylist()
                 refs = flat.field("media_ref").to_pylist()
                 offs = flat.field("offset").to_pylist()
