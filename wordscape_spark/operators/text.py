@@ -159,10 +159,159 @@ def alnum_prop_expr(col: str, dialect: str) -> str:
     )
 
 
+# vectorized twin of the metric COUNTS: lookup tables built from the very
+# same literal alphabets the SQL expressions embed (_LETTERS / _DIGITS /
+# _PUNCT_CHARS) plus Java/RE2's ASCII \s class — NOT Python's unicode
+# str.isspace/isalpha — so the integer counts are bit-equal to the
+# translate/regexp_count SQL form on EVERY input, not just the corpus
+# alphabet.  Tables cover the full code-point range, so no astral fallback
+# is needed; only a (theoretically unreachable via Arrow) lone surrogate
+# falls back to a per-char scalar twin.
+_JAVA_WS = " \t\n\x0b\f\r"  # java.util.regex / RE2 \s without UNICODE flag
+_MB_LUT = None
+
+
+def _mb_luts():
+    global _MB_LUT
+    if _MB_LUT is None:
+        import numpy as np
+
+        alpha = np.zeros(0x110000, dtype=np.uint8)
+        for ch in _LETTERS:
+            alpha[ord(ch)] = 1
+        digit = np.zeros(0x110000, dtype=np.uint8)
+        for ch in _DIGITS:
+            digit[ord(ch)] = 1
+        punct = np.zeros(0x110000, dtype=np.uint8)
+        for ch in _PUNCT_CHARS:
+            punct[ord(ch)] = 1
+        ws = np.zeros(0x110000, dtype=bool)
+        for ch in _JAVA_WS:
+            ws[ord(ch)] = True
+        _MB_LUT = (alpha, digit, punct, ws)
+    return _MB_LUT
+
+
+def _metrics_counts_scalar(t: str) -> tuple[int, int, int, int]:
+    """Per-char twin for the (unreachable) surrogate fallback."""
+    letters = set(_LETTERS)
+    digits = set(_DIGITS)
+    punct = set(_PUNCT_CHARS)
+    ws = set(_JAVA_WS)
+    n_alph = sum(1 for c in t if c in letters)
+    n_num = sum(1 for c in t if c in digits)
+    words = 0
+    in_word = False
+    for c in t:
+        if c in punct:
+            continue
+        if c in ws:
+            in_word = False
+        elif not in_word:
+            words += 1
+            in_word = True
+    return len(t), n_alph, n_num, words
+
+
+def metrics_counts_batch(
+    texts: list,
+) -> tuple[list, list, list, list]:
+    """(num_chars, num_alph, num_numeric, num_words) per text — one
+    vectorized pass, integer-exact twin of the SQL counting expressions."""
+    import numpy as np
+
+    n = len(texts)
+    if n == 0:
+        return [], [], [], []
+    try:
+        joined = "\n".join(texts) + "\n"
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    except UnicodeEncodeError:  # lone surrogates
+        out = [_metrics_counts_scalar(t or "") for t in texts]
+        return (
+            [o[0] for o in out],
+            [o[1] for o in out],
+            [o[2] for o in out],
+            [o[3] for o in out],
+        )
+    alpha, digit, punct, ws = _mb_luts()
+    lengths = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1] + 1, out=starts[1:])
+    n_alph = np.add.reduceat(alpha[codes], starts, dtype=np.int64)
+    n_num = np.add.reduceat(digit[codes], starts, dtype=np.int64)
+    pm = punct[codes]
+    npunct = np.add.reduceat(pm, starts, dtype=np.int64)
+    kstarts = starts.copy()
+    if n > 1:
+        kstarts[1:] -= np.cumsum(npunct[:-1])
+    fcodes = codes[pm == 0]
+    w = ~ws[fcodes]
+    runs = w.copy()
+    runs[1:] &= ~w[:-1]
+    n_words = np.add.reduceat(runs.view(np.uint8), kstarts, dtype=np.int64)
+    return (
+        lengths.tolist(),
+        n_alph.tolist(),
+        n_num.tolist(),
+        n_words.tolist(),
+    )
+
+
 def with_metrics(df: DataFrame, col: str = "text") -> DataFrame:
-    for name, expr in metrics_exprs(col, "spark").items():
-        df = df.withColumn(name, F.expr(expr))
-    return df
+    """D10 metric columns, numerically identical to ``metrics_exprs``.
+
+    The four base counts come from one vectorized NumPy pass per Arrow
+    batch (``metrics_counts_batch`` — integer-exact twin of the translate /
+    regexp_count SQL; the three ``translate`` evaluations plus the regex
+    pass cost ~40 µs/row in the JVM and dominated this operator at bench
+    scale), appended to the passthrough batch as int64 columns.  The
+    derived ratio columns keep the EXACT SQL expressions over those integer
+    counts, so the 6-dp HALF_UP rounding is unchanged and results stay
+    bit-identical to the pure-SQL form (pinned by test)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    base_names = [
+        "num_words",
+        "num_chars",
+        "num_alph_chars",
+        "num_numeric_chars",
+    ]
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(name, LongType()) for name in base_names]
+    )
+    col_idx = df.columns.index(col)
+    out_names = [f.name for f in out_schema.fields]
+
+    def add_counts(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            raw = batch.column(col_idx).to_pylist()
+            # NULL text ⇒ NULL metrics, exactly like length(NULL) in the
+            # SQL form (the derived ratio expressions then propagate NULL
+            # through CASE/round identically)
+            nulls = [t is None for t in raw]
+            texts = [t if t is not None else "" for t in raw]
+            nc, na, nn, nw = metrics_counts_batch(texts)
+            if any(nulls):
+                for vals in (nc, na, nn, nw):
+                    for i, isnull in enumerate(nulls):
+                        if isnull:
+                            vals[i] = None
+            out = batch
+            for vals in (nw, nc, na, nn):
+                out = out.append_column(
+                    "_c%d" % out.num_columns, pa.array(vals, pa.int64())
+                )
+            yield out.rename_columns(out_names)
+
+    out = df.mapInArrow(add_counts, schema=out_schema)
+    exprs = metrics_exprs(col, "spark")
+    for name in ("num_alphnum_chars", "alnum_prop", "alph_to_num_ratio"):
+        out = out.withColumn(name, F.expr(exprs[name]))
+    return out
 
 
 # ------------------------------------------------------------- language id
@@ -261,27 +410,70 @@ def langid_topk_expr(dialect: str, k: int = 5) -> str:
 
 
 def with_langid(df: DataFrame, col: str = "text") -> DataFrame:
-    # tokenize ONCE into a temporary column: each per-language score (and
-    # the token count) references it, so the split/lower pass runs once per
-    # row instead of once per language — Catalyst keeps the intermediate
-    # (split is non-cheap, CollapseProject does not inline it); measured
-    # ~1.8× on the langid leg with bit-identical output vs the
-    # self-contained langid_exprs (which remain the dual-dialect oracle
-    # form).
+    # The integer token/stopword-hit counts come from one Python pass per
+    # Arrow batch (the former split-once SQL form still re-ran the
+    # interpreted ``filter(...IN (...))`` lambda per language per token);
+    # tokenization mirrors the JVM exactly — ``re.split`` on Java/RE2's
+    # ASCII \s class over ``text.lower()`` has the same part-count and
+    # empty-edge semantics as ``split(lower(col), '\\s+')`` (limit −1), and
+    # stopwords are ASCII so case-mapping differences cannot flip a
+    # membership.  The score/argmax/top-k columns keep the EXACT SQL
+    # expressions over those integer columns, so rounding and tie-breaks
+    # are unchanged (bit-identical to the pure-SQL form — pinned by test).
+    from pyspark.sql.types import LongType, StructField, StructType
+
     exprs = langid_exprs(col, "spark")
-    df = df.withColumn("_liq_toks", F.expr(f"split(lower({col}), '\\\\s+')"))
-    ntok = "size(_liq_toks)"
+    tmp_names = ["_liq_ntok"] + [f"_liq_hits_{lang}" for lang in LANGS]
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(n, LongType()) for n in tmp_names]
+    )
+    col_idx = df.columns.index(col)
+    out_names = [f.name for f in out_schema.fields]
+    stop_sets = tuple(frozenset(_STOPWORDS[lang]) for lang in LANGS)
+
+    def add_counts(batches):
+        import re
+
+        import pyarrow as pa
+
+        split = re.compile("[ \t\n\x0b\f\r]+").split  # java/RE2 \s
+        n_langs = len(stop_sets)
+        for batch in batches:
+            raw = batch.column(col_idx).to_pylist()
+            ntoks = []
+            hits = [[] for _ in range(n_langs)]
+            for t in raw:
+                if t is None:
+                    # NULL text ⇒ NULL counts (size(split(NULL)) is NULL)
+                    ntoks.append(None)
+                    for h in hits:
+                        h.append(None)
+                    continue
+                toks = split(t.lower())
+                ntoks.append(len(toks))
+                for h, ss in zip(hits, stop_sets):
+                    h.append(sum(1 for tk in toks if tk in ss))
+            out = batch.append_column(
+                "_c0", pa.array(ntoks, pa.int64())
+            )
+            for i, h in enumerate(hits):
+                out = out.append_column(
+                    "_c%d" % (i + 1), pa.array(h, pa.int64())
+                )
+            yield out.rename_columns(out_names)
+
+    df = df.mapInArrow(add_counts, schema=out_schema)
     for lang in LANGS:
-        stops = ", ".join(f"'{w}'" for w in _STOPWORDS[lang])
-        hits = f"size(filter(_liq_toks, t -> t IN ({stops})))"
         df = df.withColumn(
             f"score_{lang}",
             F.expr(
-                f"CAST(CASE WHEN {ntok} = 0 THEN 0.0 "
-                f"ELSE round({hits} * 1.0 / {ntok}, 6) END AS DOUBLE)"
+                f"CAST(CASE WHEN _liq_ntok = 0 THEN 0.0 "
+                f"ELSE round(_liq_hits_{lang} * 1.0 / _liq_ntok, 6) END "
+                f"AS DOUBLE)"
             ),
         )
-    df = df.drop("_liq_toks")
+    df = df.drop(*tmp_names)
     df = df.withColumn("top_lang", F.expr(exprs["top_lang"]))
     df = df.withColumn("top_lang_score", F.expr(exprs["top_lang_score"]))
     # E1 shape parity: lang→score map (the fastText dict analog) + the
