@@ -72,3 +72,20 @@ def test_with_langid_matches_sql_form(spark):
         a = sorted(map(tuple, sql_form(df).select(cols).collect()))
         b = sorted(map(tuple, T.with_langid(df).select(cols).collect()))
         assert a == b
+
+
+def test_with_whitelist_metrics_matches_sql_form(spark):
+    from wordscape_spark.operators import filters as FL
+
+    def sql_form(df, col="text"):
+        return df.withColumn(
+            "pseudo_perplexity", F.expr(FL.pseudo_perplexity_expr(col, "spark"))
+        ).withColumn("quality", F.expr(T.alnum_prop_expr(col, "spark")))
+
+    cols = ["doc_id", "pseudo_perplexity", "quality"]
+    for df in (_corpus(spark), _adversarial_df(spark)):
+        a = sorted(map(tuple, sql_form(df).select(cols).collect()))
+        b = sorted(
+            map(tuple, FL.with_whitelist_metrics(df).select(cols).collect())
+        )
+        assert a == b

@@ -54,6 +54,126 @@ def pseudo_perplexity_expr(col: str, dialect: str) -> str:
     )
 
 
+def with_whitelist_metrics(df: DataFrame, col: str = "text") -> DataFrame:
+    """``pseudo_perplexity`` + ``quality`` (alnum_prop) columns,
+    bit-identical to ``pseudo_perplexity_expr`` / ``alnum_prop_expr``.
+
+    Same hybrid shape as ``text.with_metrics``: the INTEGER inputs (char
+    count, trimmed length, java-``\\s`` run count over the trimmed text,
+    letter/digit counts from the SQL's literal alphabets) come from one
+    vectorized NumPy pass per Arrow batch; the rounded ratios keep the
+    exact SQL expressions over those integers (pinned by test).  The JVM
+    previously paid two translate passes plus trim+regexp_count per row —
+    twice, because this frame feeds both the threshold aggregate and the
+    filtered output."""
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from wordscape_spark.operators.text import _mb_luts
+
+    tmp = ["_wm_nchars", "_wm_ntrim", "_wm_wsruns", "_wm_alph", "_wm_num"]
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(n, LongType()) for n in tmp]
+    )
+    col_idx = df.columns.index(col)
+    out_names = [f.name for f in out_schema.fields]
+
+    def add_counts(batches):
+        import pyarrow as pa
+
+        alpha, digit, _punct, ws = _mb_luts()
+        for batch in batches:
+            raw = batch.column(col_idx).to_pylist()
+            nchars = []
+            ntrims = []
+            trimmed = []
+            for t in raw:
+                if t is None:
+                    nchars.append(None)
+                    ntrims.append(None)
+                    trimmed.append("")
+                else:
+                    nchars.append(len(t))
+                    s = t.strip(" ")  # SQL trim(): spaces only
+                    ntrims.append(len(s))
+                    trimmed.append(s)
+            try:
+                # '\x00' separator: not a letter/digit/whitespace, so it
+                # cleanly splits ws runs and adds no counts
+                joined = "\x00".join(trimmed) + "\x00"
+                codes = np.frombuffer(
+                    joined.encode("utf-32-le"), dtype=np.uint32
+                )
+                lengths = np.fromiter(
+                    (len(t) for t in trimmed),
+                    dtype=np.int64,
+                    count=len(trimmed),
+                )
+                starts = np.zeros(len(trimmed), dtype=np.int64)
+                np.cumsum(lengths[:-1] + 1, out=starts[1:])
+                n_alph = np.add.reduceat(
+                    alpha[codes], starts, dtype=np.int64
+                ).tolist()
+                n_num = np.add.reduceat(
+                    digit[codes], starts, dtype=np.int64
+                ).tolist()
+                w = ws[codes]
+                runs = w.copy()
+                runs[1:] &= ~w[:-1]
+                wsruns = np.add.reduceat(
+                    runs.view(np.uint8), starts, dtype=np.int64
+                ).tolist()
+            except UnicodeEncodeError:  # lone surrogates: per-char twin
+                import re
+
+                ws_runs_re = re.compile("[ \t\n\x0b\f\r]+")
+                from wordscape_spark.operators.text import (
+                    _DIGITS,
+                    _LETTERS,
+                )
+
+                lset = set(_LETTERS)
+                dset = set(_DIGITS)
+                n_alph = [sum(1 for c in s if c in lset) for s in trimmed]
+                n_num = [sum(1 for c in s if c in dset) for s in trimmed]
+                wsruns = [
+                    len(ws_runs_re.findall(s)) for s in trimmed
+                ]
+            if any(c is None for c in nchars):
+                for vals in (n_alph, n_num, wsruns):
+                    for i, c in enumerate(nchars):
+                        if c is None:
+                            vals[i] = None
+            out = batch
+            for i, vals in enumerate(
+                (nchars, ntrims, wsruns, n_alph, n_num)
+            ):
+                out = out.append_column(
+                    "_c%d" % i, pa.array(vals, pa.int64())
+                )
+            yield out.rename_columns(out_names)
+
+    df = df.mapInArrow(add_counts, schema=out_schema)
+    df = df.withColumn(
+        "pseudo_perplexity",
+        F.expr(
+            "CAST(CASE WHEN _wm_ntrim = 0 THEN 0.0 "
+            "ELSE round(_wm_nchars * 1.0 / (_wm_wsruns + 1), 6) END "
+            "AS DOUBLE)"
+        ),
+    )
+    df = df.withColumn(
+        "quality",
+        F.expr(
+            "CAST(CASE WHEN _wm_nchars = 0 THEN 0.0 "
+            "ELSE round((_wm_alph + _wm_num) * 1.0 / _wm_nchars, 6) END "
+            "AS DOUBLE)"
+        ),
+    )
+    return df.drop(*tmp)
+
+
 def doc_whitelist(
     df: DataFrame,
     lang_col: str = "lang",

@@ -708,13 +708,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _docs(spark, sf_dir)
-    df = df.withColumn(
-        "pseudo_perplexity", F.expr(FL.pseudo_perplexity_expr("text", "spark"))
-    ).withColumn(
-        "quality",
-        F.expr(T.alnum_prop_expr("text", "spark")),
-    )
+    # hybrid metric columns (bit-identical to the pseudo_perplexity_expr /
+    # alnum_prop_expr SQL forms — pinned by test_text_hybrid): integer
+    # counts from one vectorized pass, rounded ratios in SQL
+    df = FL.with_whitelist_metrics(_docs(spark, sf_dir))
     return FL.doc_whitelist(df).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "lang",
